@@ -1,0 +1,79 @@
+"""Configuration dataclasses for vqvdb_tpu.
+
+Replaces the reference's 4-layer ad-hoc config system (C++ `CodecConfig`
+in src/core/IVQVAECodec.hpp:83-89, Houdini DS parm blocks, argparse
+constants in python/training.py:48-56, and CMake feature flags) with two
+explicit, hashable dataclasses usable as jit static args.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax.numpy as jnp
+
+# Geometry of an OpenVDB FloatGrid leaf node (ref: src/orchestrator/VQVAECodec.cpp:20-22).
+LEAF_DIM = 8
+LEAF_VOXELS = LEAF_DIM**3  # 512
+# Encoder downsamples 8^3 -> 4^3 (stride-2 conv; ref: python/VQVAE_v2.py:240).
+LATENT_DIM = 4
+LATENT_VOXELS = LATENT_DIM**3  # 64
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """VQ-VAE architecture hyperparameters.
+
+    Defaults reproduce the reference scalar model (ref: python/training.py:52-55):
+    K=256 codes x D=128 dims, latent 4x4x4, commitment cost 0.25, EMA decay
+    0.95 / eps 1e-4 (ref: python/VQVAE_v2.py:90-91).
+    """
+
+    in_channels: int = 1
+    embedding_dim: int = 128
+    num_embeddings: int = 256
+    commitment_cost: float = 0.25
+    ema_decay: float = 0.95
+    ema_eps: float = 1e-4
+
+    @property
+    def variant(self) -> str:
+        """'scalar' (sigmoid head) or 'vec3' (tanh head); selection mirrors
+        ref python/VQVAE_v2.py:331-336 (in_channels==1 -> float variant)."""
+        return "scalar" if self.in_channels == 1 else "vec3"
+
+    @property
+    def latent_shape(self) -> Tuple[int, int, int]:
+        return (LATENT_DIM, LATENT_DIM, LATENT_DIM)
+
+    @property
+    def index_dtype(self):
+        # The .vqvdb v3 container stores 1 byte per latent index, so K must
+        # fit uint8 (ref: src/Utils/VQVDB_Reader.cpp — blockDataSize is the
+        # latent voxel count in bytes). Larger codebooks need format v4.
+        return jnp.uint8 if self.num_embeddings <= 256 else jnp.uint16
+
+
+@dataclasses.dataclass(frozen=True)
+class CodecConfig:
+    """Runtime codec settings.
+
+    The reference exposed backend/device enums (ONNX/LibTorch x CPU/CUDA,
+    ref: src/core/IVQVAECodec.hpp:21,83-89); under JAX that collapses to
+    platform selection, so only pipeline knobs remain.
+    """
+
+    batch_size: int = 4096  # leaves per device step (ref SOP default was 64 — tiny for TPU)
+    compute_dtype: str = "bfloat16"  # conv compute precision on TPU
+    param_dtype: str = "float32"
+    use_pallas: bool = True  # fused Pallas quantizer kernel vs pure-XLA path
+    donate_buffers: bool = True
+
+    @property
+    def compute_jnp_dtype(self):
+        return jnp.dtype(self.compute_dtype)
+
+    @property
+    def param_jnp_dtype(self):
+        return jnp.dtype(self.param_dtype)

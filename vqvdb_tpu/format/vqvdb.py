@@ -1,0 +1,350 @@
+""".vqvdb v3 container — streaming reader/writer, byte-identical to the reference.
+
+Byte layout (little-endian, packed; ref: src/Utils/VQVDB_Reader.hpp:30-42 and
+src/Utils/VQVDB_Reader.cpp):
+
+  file header (12 B):
+      char[5]  magic      = "VQVDB"
+      u8       version    = 3
+      u8       numGrids
+      u32      numEmbeddings          (shared across all grids)
+      u8       latentDimCount         (shared across all grids)
+
+  per grid:
+      u32      nameLength
+      char[nameLength] name
+      f32[16]  transform              (4x4 index->world affine, row-major)
+      u16[latentDimCount] latentShape (e.g. 4,4,4)
+      u32      totalBlocks
+      totalBlocks x chunk:
+          i32[3]  leaf origin (OpenVDB Coord, 12 B)
+          u8[prod(latentShape)] codebook indices (64 B for 4x4x4)
+
+Notes kept faithful to the reference:
+  * The codebook is NOT stored in the file (README claims otherwise; the
+    writer at src/Utils/VQVDB_Reader.cpp never emits it — we match the code).
+  * The writer emits a placeholder header first and finalizes numGrids /
+    shared properties on close (deferred-finalize, ref writer close()/
+    finalizeHeader()).
+  * numGrids is a u8: max 255 grids per file.
+  * 1 byte per index caps num_embeddings' *index space* at 256; the u32
+    numEmbeddings field is metadata only.
+
+This is the pure-Python/numpy implementation; the C++ fast path in
+native/vqvdb_io.cpp implements the same layout for bulk interleave/
+deinterleave and is used transparently when built (see
+vqvdb_tpu.runtime.native_io).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import io
+import struct
+from pathlib import Path
+from typing import Iterator, List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+
+MAGIC = b"VQVDB"
+FORMAT_VERSION = 3
+
+_HEADER_STRUCT = struct.Struct("<5sBBIB")  # magic, version, numGrids, numEmbeddings, latentDimCount
+HEADER_SIZE = _HEADER_STRUCT.size  # 12
+ORIGIN_BYTES = 12  # 3 x i32
+
+
+@dataclasses.dataclass
+class GridMetadata:
+    """Per-grid metadata block (ref: VQVDBMetadata, src/Utils/VQVDB_Reader.hpp:19-28)."""
+
+    name: str
+    num_embeddings: int
+    latent_shape: Tuple[int, ...]
+    total_blocks: int
+    transform: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.eye(4, dtype=np.float32)
+    )
+
+    def __post_init__(self) -> None:
+        self.latent_shape = tuple(int(d) for d in self.latent_shape)
+        self.transform = np.asarray(self.transform, dtype=np.float32).reshape(4, 4)
+
+    @property
+    def block_data_size(self) -> int:
+        return int(np.prod(self.latent_shape))
+
+    @property
+    def chunk_size(self) -> int:
+        return ORIGIN_BYTES + self.block_data_size
+
+
+class VqvdbWriter:
+    """Streaming writer with deferred header finalization.
+
+    Usage:
+        with VqvdbWriter(path) as w:
+            w.start_grid(meta)
+            w.write_batch(indices_u8, origins_i32)   # repeatedly
+            w.end_grid()
+    """
+
+    def __init__(self, path: Union[str, Path]):
+        self._f: Optional[io.BufferedWriter] = open(path, "wb")
+        self._num_grids = 0
+        self._shared_num_embeddings = 0
+        self._shared_latent_dim_count = 0
+        self._block_data_size = 0
+        self._blocks_written_in_grid = 0
+        self._declared_blocks = 0
+        # Placeholder header: real values are seeked-in on close (ref:
+        # writer ctor writes default-constructed header, finalizeHeader()
+        # rewrites it with the true grid count).
+        self._f.write(_HEADER_STRUCT.pack(MAGIC, FORMAT_VERSION, 0, 0, 0))
+
+    # -- context manager -------------------------------------------------
+    def __enter__(self) -> "VqvdbWriter":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+    # -- API -------------------------------------------------------------
+    def start_grid(self, metadata: GridMetadata) -> None:
+        f = self._require_open()
+        if self._num_grids == 0:
+            self._shared_num_embeddings = int(metadata.num_embeddings)
+            self._shared_latent_dim_count = len(metadata.latent_shape)
+        else:
+            # Cross-grid consistency (ref: startGrid consistency checks).
+            if metadata.num_embeddings != self._shared_num_embeddings:
+                raise ValueError("Inconsistent number of embeddings across grids.")
+            if len(metadata.latent_shape) != self._shared_latent_dim_count:
+                raise ValueError("Inconsistent latent dimension count across grids.")
+        if self._num_grids >= 255:
+            raise ValueError("v3 format stores numGrids as u8 (max 255 grids).")
+
+        self._block_data_size = metadata.block_data_size
+        self._declared_blocks = int(metadata.total_blocks)
+        self._blocks_written_in_grid = 0
+
+        name_bytes = metadata.name.encode("utf-8")
+        f.write(struct.pack("<I", len(name_bytes)))
+        f.write(name_bytes)
+        f.write(metadata.transform.astype(np.float32).tobytes())  # 64 B
+        f.write(
+            np.asarray(metadata.latent_shape, dtype=np.uint16).tobytes()
+        )
+        f.write(struct.pack("<I", int(metadata.total_blocks)))
+        self._num_grids += 1
+
+    def write_batch(self, indices: np.ndarray, origins: np.ndarray) -> None:
+        """Append a batch of (origin, indices) chunks, interleaved.
+
+        indices: uint8 [B, *latent_shape] (or [B, block_data_size])
+        origins: int32 [B, 3] leaf origins in index space
+        """
+        f = self._require_open()
+        indices = np.ascontiguousarray(indices, dtype=np.uint8).reshape(
+            indices.shape[0], -1
+        )
+        origins = np.ascontiguousarray(origins, dtype=np.int32).reshape(-1, 3)
+        if indices.shape[0] != origins.shape[0]:
+            raise ValueError(
+                f"batch mismatch: {indices.shape[0]} index rows vs "
+                f"{origins.shape[0]} origins"
+            )
+        if indices.shape[1] != self._block_data_size:
+            raise ValueError(
+                f"indices row size {indices.shape[1]} != latent size "
+                f"{self._block_data_size}"
+            )
+        # Vectorized interleave: [B, 12 + blockDataSize] u8 rows.
+        chunks = np.concatenate(
+            [origins.view(np.uint8).reshape(-1, ORIGIN_BYTES), indices], axis=1
+        )
+        f.write(chunks.tobytes())
+        self._blocks_written_in_grid += indices.shape[0]
+
+    def end_grid(self) -> None:
+        if self._blocks_written_in_grid != self._declared_blocks:
+            raise ValueError(
+                f"grid declared {self._declared_blocks} blocks but "
+                f"{self._blocks_written_in_grid} were written"
+            )
+
+    def close(self) -> None:
+        if self._f is None:
+            return
+        f = self._f
+        if self._num_grids > 0:
+            f.seek(0)
+            f.write(
+                _HEADER_STRUCT.pack(
+                    MAGIC,
+                    FORMAT_VERSION,
+                    self._num_grids,
+                    self._shared_num_embeddings,
+                    self._shared_latent_dim_count,
+                )
+            )
+        f.close()
+        self._f = None
+
+    def _require_open(self) -> io.BufferedWriter:
+        if self._f is None:
+            raise RuntimeError("writer is closed")
+        return self._f
+
+
+class VqvdbReader:
+    """Streaming reader mirroring the reference's iterator protocol:
+    has_next_grid / next_grid_metadata / has_next / next_batch.
+    """
+
+    def __init__(self, path: Union[str, Path]):
+        self._f = open(path, "rb")
+        raw = self._f.read(HEADER_SIZE)
+        if len(raw) < HEADER_SIZE:
+            raise ValueError("Failed to read file header.")
+        magic, version, num_grids, num_embeddings, latent_dim_count = (
+            _HEADER_STRUCT.unpack(raw)
+        )
+        if magic != MAGIC:
+            raise ValueError("Invalid VQVDB magic number.")
+        if version != FORMAT_VERSION:
+            raise ValueError(
+                f"Unsupported VQVDB version. Expected {FORMAT_VERSION}, got {version}"
+            )
+        self.num_grids = int(num_grids)
+        self.num_embeddings = int(num_embeddings)
+        self.latent_dim_count = int(latent_dim_count)
+        self._current_grid = 0
+        self._meta: Optional[GridMetadata] = None
+        self._blocks_read = 0
+
+    # -- context manager -------------------------------------------------
+    def __enter__(self) -> "VqvdbReader":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+    def close(self) -> None:
+        if self._f is not None:
+            self._f.close()
+            self._f = None
+
+    # -- grid iteration --------------------------------------------------
+    def has_next_grid(self) -> bool:
+        return self._current_grid < self.num_grids
+
+    def next_grid_metadata(self) -> GridMetadata:
+        if not self.has_next_grid():
+            raise ValueError("No more grids available.")
+        f = self._f
+        (name_len,) = struct.unpack("<I", self._read_exact(4, "grid name length"))
+        name = self._read_exact(name_len, "grid name").decode("utf-8")
+        transform = np.frombuffer(
+            self._read_exact(64, "header extension"), dtype=np.float32
+        ).reshape(4, 4).copy()
+        latent_shape: Tuple[int, ...] = ()
+        if self.latent_dim_count > 0:
+            latent_shape = tuple(
+                int(v)
+                for v in np.frombuffer(
+                    self._read_exact(2 * self.latent_dim_count, "latent shape"),
+                    dtype=np.uint16,
+                )
+            )
+        (total_blocks,) = struct.unpack(
+            "<I", self._read_exact(4, "total block count")
+        )
+        self._meta = GridMetadata(
+            name=name,
+            num_embeddings=self.num_embeddings,
+            latent_shape=latent_shape,
+            total_blocks=int(total_blocks),
+            transform=transform,
+        )
+        self._blocks_read = 0
+        self._current_grid += 1
+        return self._meta
+
+    # -- batch iteration (within current grid) ---------------------------
+    def has_next(self) -> bool:
+        return self._meta is not None and self._blocks_read < self._meta.total_blocks
+
+    def next_batch(self, max_batch: int) -> Tuple[np.ndarray, np.ndarray]:
+        """Read up to max_batch chunks.
+
+        Returns (indices u8 [B, *latent_shape], origins i32 [B, 3]).
+        """
+        if not self.has_next():
+            empty_shape = (0,) + (self._meta.latent_shape if self._meta else ())
+            return (
+                np.empty(empty_shape, dtype=np.uint8),
+                np.empty((0, 3), dtype=np.int32),
+            )
+        meta = self._meta
+        want = min(int(max_batch), meta.total_blocks - self._blocks_read)
+        raw = self._f.read(want * meta.chunk_size)
+        got = len(raw) // meta.chunk_size
+        if got < want and len(raw) != got * meta.chunk_size:
+            raise ValueError("File truncated: Incomplete read during refill.")
+        if got < want:
+            raise ValueError("File truncated: Incomplete read during refill.")
+        chunks = np.frombuffer(raw, dtype=np.uint8).reshape(got, meta.chunk_size)
+        origins = (
+            chunks[:, :ORIGIN_BYTES].reshape(-1).view(np.int32).reshape(got, 3).copy()
+        )
+        indices = chunks[:, ORIGIN_BYTES:].reshape((got,) + meta.latent_shape).copy()
+        self._blocks_read += got
+        return indices, origins
+
+    # -- convenience -----------------------------------------------------
+    def iter_grids(
+        self, batch_size: int = 4096
+    ) -> Iterator[Tuple[GridMetadata, Iterator[Tuple[np.ndarray, np.ndarray]]]]:
+        while self.has_next_grid():
+            meta = self.next_grid_metadata()
+
+            def batches() -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+                while self.has_next():
+                    yield self.next_batch(batch_size)
+
+            yield meta, batches()
+
+    def read_grid(self) -> Tuple[GridMetadata, np.ndarray, np.ndarray]:
+        """Read the next whole grid eagerly: (meta, indices [N,*ls], origins [N,3])."""
+        meta = self.next_grid_metadata()
+        indices, origins = self.next_batch(meta.total_blocks)
+        return meta, indices, origins
+
+    def _read_exact(self, n: int, what: str) -> bytes:
+        raw = self._f.read(n)
+        if len(raw) != n:
+            raise ValueError(f"Failed to read {what}.")
+        return raw
+
+
+def write_single_grid(
+    path: Union[str, Path],
+    name: str,
+    indices: np.ndarray,
+    origins: np.ndarray,
+    num_embeddings: int,
+    transform: Optional[np.ndarray] = None,
+) -> None:
+    """One-shot write of a single grid (convenience for tests/CLI)."""
+    meta = GridMetadata(
+        name=name,
+        num_embeddings=num_embeddings,
+        latent_shape=tuple(indices.shape[1:]),
+        total_blocks=indices.shape[0],
+        transform=np.eye(4, dtype=np.float32) if transform is None else transform,
+    )
+    with VqvdbWriter(path) as w:
+        w.start_grid(meta)
+        w.write_batch(indices, origins)
+        w.end_grid()
