@@ -1,0 +1,201 @@
+"""VQ-VAE model assembly (scalar and vec3 variants), channels-last JAX.
+
+Architecture reproduces the reference graphs exactly (cited per stage below)
+so that trained quality matches; layout/dtype/kernel choices are TPU-native:
+NDHWC tensors, f32 norm statistics, bf16-capable conv path, MXU-shaped
+quantizer math.
+
+Scalar variant (in_channels=1; ref: python/VQVAE_v2.py:231-275):
+  enc: conv(1->16,k3,p1) GN(4) relu RB(16) | conv(16->32,k4,s2,p1) | RB(32)
+       | CA(32) | conv(32->D,k1)
+  dec: conv(D->64,k3,p1) GN(8) relu | RB(64) | CA(64) | conv(64->256,k3,p1,ICNR)
+       | pixel_shuffle(2) | conv(32->1,k3,p1) | sigmoid
+
+Vec3 variant (in_channels=3; ref: python/VQVAE_v2.py:278-325):
+  enc: conv(3->64,k3,p1) GN(8) relu RB(64) | conv(64->128,k3,s2,p1)
+       | RB(128) RB(128) | CA(128) | conv(128->D,k1)
+  dec: conv(D->128,k3,p1) GN(8) relu | RB(128) RB(128) | CA(128)
+       | conv(128->256,k3,p1,ICNR) | pixel_shuffle(2) | conv(32->3,k3,p1) | tanh
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from vqvdb_tpu.core.config import ModelConfig
+from vqvdb_tpu.models import blocks
+from vqvdb_tpu.models.quantizer import (
+    VQState,
+    dequantize,
+    init_vq_state,
+    nearest_indices,
+    vq_train_forward,
+)
+
+Params = Dict[str, Any]
+
+
+class VQVAEParams(NamedTuple):
+    """Full model pytree: encoder/decoder weights + quantizer state."""
+
+    encoder: Params
+    decoder: Params
+    vq: VQState
+
+
+# ---------------------------------------------------------------------------
+# Init
+# ---------------------------------------------------------------------------
+
+def _init_encoder_scalar(key, cfg: ModelConfig, dtype) -> Params:
+    k = jax.random.split(key, 6)
+    return {
+        "pre_conv": blocks.init_conv3d(k[0], cfg.in_channels, 16, 3, dtype=dtype),
+        "pre_gn": blocks.init_group_norm(16, dtype),
+        "pre_rb": blocks.init_residual_block(k[1], 16, dtype),
+        "down": blocks.init_conv3d(k[2], 16, 32, 4, dtype=dtype),
+        "rb": blocks.init_residual_block(k[3], 32, dtype),
+        "attn": blocks.init_channel_attention(k[4], 32, dtype=dtype),
+        "proj": blocks.init_conv3d(k[5], 32, cfg.embedding_dim, 1, dtype=dtype),
+    }
+
+
+def _init_decoder_scalar(key, cfg: ModelConfig, dtype) -> Params:
+    k = jax.random.split(key, 6)
+    return {
+        "stem_conv": blocks.init_conv3d(k[0], cfg.embedding_dim, 64, 3, dtype=dtype),
+        "stem_gn": blocks.init_group_norm(64, dtype),
+        "rb": blocks.init_residual_block(k[1], 64, dtype),
+        "attn": blocks.init_channel_attention(k[2], 64, dtype=dtype),
+        "up_conv": blocks.init_conv3d_icnr(k[3], 64, 32 * 8, 3, dtype=dtype),
+        "final": blocks.init_conv3d(k[4], 32, cfg.in_channels, 3, dtype=dtype),
+    }
+
+
+def _init_encoder_vec3(key, cfg: ModelConfig, dtype) -> Params:
+    k = jax.random.split(key, 7)
+    return {
+        "pre_conv": blocks.init_conv3d(k[0], cfg.in_channels, 64, 3, dtype=dtype),
+        "pre_gn": blocks.init_group_norm(64, dtype),
+        "pre_rb": blocks.init_residual_block(k[1], 64, dtype),
+        "down": blocks.init_conv3d(k[2], 64, 128, 3, dtype=dtype),
+        "rb1": blocks.init_residual_block(k[3], 128, dtype),
+        "rb2": blocks.init_residual_block(k[4], 128, dtype),
+        "attn": blocks.init_channel_attention(k[5], 128, dtype=dtype),
+        "proj": blocks.init_conv3d(k[6], 128, cfg.embedding_dim, 1, dtype=dtype),
+    }
+
+
+def _init_decoder_vec3(key, cfg: ModelConfig, dtype) -> Params:
+    k = jax.random.split(key, 7)
+    return {
+        "stem_conv": blocks.init_conv3d(k[0], cfg.embedding_dim, 128, 3, dtype=dtype),
+        "stem_gn": blocks.init_group_norm(128, dtype),
+        "rb1": blocks.init_residual_block(k[1], 128, dtype),
+        "rb2": blocks.init_residual_block(k[2], 128, dtype),
+        "attn": blocks.init_channel_attention(k[3], 128, dtype=dtype),
+        "up_conv": blocks.init_conv3d_icnr(k[4], 128, 32 * 8, 3, dtype=dtype),
+        "final": blocks.init_conv3d(k[5], 32, cfg.in_channels, 3, dtype=dtype),
+    }
+
+
+def init_vqvae_params(key, cfg: ModelConfig, dtype=jnp.float32) -> VQVAEParams:
+    ke, kd, kq = jax.random.split(key, 3)
+    if cfg.variant == "scalar":
+        enc = _init_encoder_scalar(ke, cfg, dtype)
+        dec = _init_decoder_scalar(kd, cfg, dtype)
+    else:
+        enc = _init_encoder_vec3(ke, cfg, dtype)
+        dec = _init_decoder_vec3(kd, cfg, dtype)
+    vq = init_vq_state(kq, cfg.num_embeddings, cfg.embedding_dim, dtype)
+    return VQVAEParams(encoder=enc, decoder=dec, vq=vq)
+
+
+# ---------------------------------------------------------------------------
+# Apply
+# ---------------------------------------------------------------------------
+
+def encoder_apply(params: Params, x: jnp.ndarray, cfg: ModelConfig) -> jnp.ndarray:
+    """x: (B, 8, 8, 8, C) -> latents (B, 4, 4, 4, D)."""
+    if cfg.variant == "scalar":
+        h = blocks.conv3d(params["pre_conv"], x, padding=1)
+        h = jax.nn.relu(blocks.group_norm(params["pre_gn"], h, 4))
+        h = blocks.residual_block(params["pre_rb"], h)
+        h = blocks.conv3d(params["down"], h, stride=2, padding=1)  # k4 s2: 8^3 -> 4^3
+        h = blocks.residual_block(params["rb"], h)
+        h = blocks.channel_attention(params["attn"], h)
+        return blocks.conv3d(params["proj"], h)
+    else:
+        h = blocks.conv3d(params["pre_conv"], x, padding=1)
+        h = jax.nn.relu(blocks.group_norm(params["pre_gn"], h, 8))
+        h = blocks.residual_block(params["pre_rb"], h)
+        h = blocks.conv3d(params["down"], h, stride=2, padding=1)  # k3 s2: 8^3 -> 4^3
+        h = blocks.residual_block(params["rb1"], h)
+        h = blocks.residual_block(params["rb2"], h)
+        h = blocks.channel_attention(params["attn"], h)
+        return blocks.conv3d(params["proj"], h)
+
+
+def decoder_apply(params: Params, z: jnp.ndarray, cfg: ModelConfig) -> jnp.ndarray:
+    """z: (B, 4, 4, 4, D) -> reconstruction (B, 8, 8, 8, C)."""
+    if cfg.variant == "scalar":
+        h = blocks.conv3d(params["stem_conv"], z, padding=1)
+        h = jax.nn.relu(blocks.group_norm(params["stem_gn"], h, 8))
+        h = blocks.residual_block(params["rb"], h)
+        h = blocks.channel_attention(params["attn"], h)
+        h = blocks.conv3d(params["up_conv"], h, padding=1)
+        h = blocks.pixel_shuffle_3d(h, 2)
+        h = blocks.conv3d(params["final"], h, padding=1)
+        return jax.nn.sigmoid(h.astype(jnp.float32))
+    else:
+        h = blocks.conv3d(params["stem_conv"], z, padding=1)
+        h = jax.nn.relu(blocks.group_norm(params["stem_gn"], h, 8))
+        h = blocks.residual_block(params["rb1"], h)
+        h = blocks.residual_block(params["rb2"], h)
+        h = blocks.channel_attention(params["attn"], h)
+        h = blocks.conv3d(params["up_conv"], h, padding=1)
+        h = blocks.pixel_shuffle_3d(h, 2)
+        h = blocks.conv3d(params["final"], h, padding=1)
+        return jnp.tanh(h.astype(jnp.float32))
+
+
+def encode_to_indices(params: VQVAEParams, x: jnp.ndarray, cfg: ModelConfig) -> jnp.ndarray:
+    """Inference encode: leaves (B,8,8,8,C) -> uint8 indices (B,4,4,4)
+    (ref: VQVAE.encode, python/VQVAE_v2.py:350-369)."""
+    z = encoder_apply(params.encoder, x, cfg)
+    b = z.shape[0]
+    flat = z.reshape(-1, cfg.embedding_dim)
+    idx = nearest_indices(flat, params.vq.embedding)
+    return idx.reshape((b,) + cfg.latent_shape).astype(cfg.index_dtype)
+
+
+def decode_from_indices(params: VQVAEParams, indices: jnp.ndarray, cfg: ModelConfig,
+                        compute_dtype=jnp.float32) -> jnp.ndarray:
+    """Inference decode: uint8 indices (B,4,4,4) -> leaves (B,8,8,8,C)
+    (ref: VQVAE.decode, python/VQVAE_v2.py:371-377)."""
+    codebook = params.vq.embedding.astype(compute_dtype)
+    z = dequantize(indices.astype(jnp.int32), codebook)
+    return decoder_apply(params.decoder, z, cfg)
+
+
+def vqvae_forward(
+    params: VQVAEParams,
+    x: jnp.ndarray,
+    cfg: ModelConfig,
+    *,
+    axis_name: str | None = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, VQState, jnp.ndarray, jnp.ndarray]:
+    """Training forward (ref: VQVAE.forward, python/VQVAE_v2.py:344-348).
+
+    Returns (z, recon, new_vq_state, vq_loss, perplexity).
+    """
+    z = encoder_apply(params.encoder, x, cfg)
+    quantized, new_vq, vq_loss, perplexity = vq_train_forward(
+        params.vq, z, cfg.commitment_cost, cfg.ema_decay, cfg.ema_eps,
+        axis_name=axis_name,
+    )
+    recon = decoder_apply(params.decoder, quantized, cfg)
+    return z, recon, new_vq, vq_loss, perplexity

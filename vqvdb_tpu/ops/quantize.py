@@ -1,0 +1,149 @@
+"""Pallas TPU kernels for the vector-quantization hot path.
+
+The reference runs quantization as part of an ONNX/TorchScript graph on CUDA
+(distance matmul + argmin inside the exported encoder, ref:
+python/VQVAE_v2.py:364-367). Here it is a hand-written TPU kernel:
+
+  * `fused_nearest_indices` — for each latent row z, computes
+    argmin_k(||e_k||^2 - 2 z . e_k) entirely in VMEM: one [TILE_N, D] x
+    [D, K] MXU matmul per tile, fused bias add and first-min argmin on the
+    VPU, no [N, K] distance matrix ever touching HBM. The ||z||^2 term is
+    dropped — it is constant per row and cannot change the argmin.
+  * `fused_dequantize` — one-hot(idx) @ codebook as an MXU matmul per tile
+    (row gathers are slow on TPU; a [TILE_N, K] x [K, D] matmul is not).
+
+Both have pure-XLA twins in models/quantizer.py used as the correctness
+oracle (tests/test_pallas_quantize.py) and as the fallback on non-TPU
+backends.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_TILE_N = 1024
+
+
+def _auto_interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+# ---------------------------------------------------------------------------
+# Nearest-code search
+# ---------------------------------------------------------------------------
+
+def _nearest_kernel(z_ref, cb_ref, out_ref):
+    """One tile: z [TILE_N, D], codebook [K, D] -> indices [1, TILE_N] i32."""
+    z = z_ref[:].astype(jnp.float32)
+    cb = cb_ref[:].astype(jnp.float32)
+    k = cb.shape[0]
+
+    # partial distance: ||e||^2 - 2 z.e  (||z||^2 dropped; argmin-invariant)
+    e_sq = jnp.sum(cb * cb, axis=1)  # (K,)
+    cross = jax.lax.dot_general(
+        z, cb,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (TILE_N, K)
+    dist = e_sq[None, :] - 2.0 * cross
+
+    # First-minimum argmin (torch.argmin tie-breaking): among positions
+    # equal to the row min, take the smallest column id.
+    min_val = jnp.min(dist, axis=1, keepdims=True)
+    col = jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1)
+    idx = jnp.min(jnp.where(dist == min_val, col, k), axis=1)
+    out_ref[:] = idx[None, :].astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_n", "interpret"))
+def fused_nearest_indices(
+    flat_z: jnp.ndarray,
+    codebook: jnp.ndarray,
+    *,
+    tile_n: int = DEFAULT_TILE_N,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """flat_z [N, D], codebook [K, D] -> int32 indices [N].
+
+    N is padded up to a tile multiple internally; callers pass any N.
+    """
+    if interpret is None:
+        interpret = _auto_interpret()
+    n, d = flat_z.shape
+    k = codebook.shape[0]
+    tile = min(tile_n, max(128, -(-n // 128) * 128))
+    n_pad = -(-n // tile) * tile
+    if n_pad != n:
+        flat_z = jnp.pad(flat_z, ((0, n_pad - n), (0, 0)))
+    n_tiles = n_pad // tile
+
+    out = pl.pallas_call(
+        _nearest_kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((tile, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, tile), jnp.int32),
+        interpret=interpret,
+    )(flat_z, codebook)
+    return out.reshape(n_pad)[:n]
+
+
+# ---------------------------------------------------------------------------
+# Dequantize (codebook lookup as matmul)
+# ---------------------------------------------------------------------------
+
+def _dequant_kernel(idx_ref, cb_ref, out_ref):
+    """One tile: idx [1, TILE_N] i32, codebook [K, D] -> vectors [TILE_N, D]."""
+    idx = idx_ref[0, :]  # (TILE_N,)
+    cb = cb_ref[:]
+    k = cb.shape[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (idx.shape[0], k), 1)
+    one_hot = (col == idx[:, None]).astype(cb.dtype)
+    out_ref[:] = jax.lax.dot_general(
+        one_hot, cb,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=cb.dtype,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("tile_n", "interpret"))
+def fused_dequantize(
+    indices: jnp.ndarray,
+    codebook: jnp.ndarray,
+    *,
+    tile_n: int = DEFAULT_TILE_N,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """indices [N] (any int dtype), codebook [K, D] -> vectors [N, D]."""
+    if interpret is None:
+        interpret = _auto_interpret()
+    n = indices.shape[0]
+    k, d = codebook.shape
+    tile = min(tile_n, max(128, -(-n // 128) * 128))
+    n_pad = -(-n // tile) * tile
+    idx = indices.astype(jnp.int32)
+    if n_pad != n:
+        idx = jnp.pad(idx, (0, n_pad - n))
+    n_tiles = n_pad // tile
+
+    out = pl.pallas_call(
+        _dequant_kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, tile), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad, d), codebook.dtype),
+        interpret=interpret,
+    )(idx.reshape(n_tiles, tile), codebook)
+    return out[:n]
