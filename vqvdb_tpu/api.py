@@ -1,0 +1,78 @@
+"""High-level user API — the framework's equivalent of the Houdini SOP
+surface (ref: src/SOP/SOP_VQVDB_Encoder.cpp / SOP_VQVDB_Decoder.cpp), with
+the same semantics expressed as Python calls:
+
+    encode(grids | dense | npy, model, out_path, batch_size, name_filter)
+    decode(vqvdb_path, model, batch_size) -> grids
+
+plus model persistence. The SOP parameters map 1:1: `vdbname` ->
+name_filter, `outputpath`/`inputfile` -> paths, `batchsize` -> batch_size.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+
+from vqvdb_tpu.core.artifact import load_model, save_model  # noqa: F401
+from vqvdb_tpu.core.config import CodecConfig, ModelConfig
+from vqvdb_tpu.models.vqvae import VQVAEParams
+from vqvdb_tpu.runtime.codec import VQCodec
+from vqvdb_tpu.vdb.grid import LeafGrid
+
+PathLike = Union[str, Path]
+
+
+def make_codec(
+    model: Union[PathLike, Tuple[VQVAEParams, ModelConfig]],
+    *,
+    batch_size: int = 4096,
+    compute_dtype: str = "bfloat16",
+    use_pallas: bool = True,
+) -> VQCodec:
+    """Build a codec from a `.vqmodel` artifact path or (params, cfg)."""
+    if isinstance(model, (str, Path)):
+        params, mcfg = load_model(model)
+    else:
+        params, mcfg = model
+    ccfg = CodecConfig(batch_size=batch_size, compute_dtype=compute_dtype,
+                       use_pallas=use_pallas)
+    return VQCodec(params, mcfg, ccfg)
+
+
+def encode(
+    grids: Union[LeafGrid, Sequence[LeafGrid]],
+    model: Union[PathLike, Tuple[VQVAEParams, ModelConfig], VQCodec],
+    out_path: PathLike,
+    *,
+    batch_size: int = 4096,
+    name_filter: Optional[str] = None,
+    progress: bool = False,
+) -> dict:
+    """Compress grids to a `.vqvdb` file (SOP encoder cook semantics,
+    ref: SOP_VQVDB_Encoder.cpp:84-141)."""
+    codec = model if isinstance(model, VQCodec) else make_codec(
+        model, batch_size=batch_size)
+    if isinstance(grids, LeafGrid):
+        grids = [grids]
+    if name_filter:
+        grids = [g for g in grids if g.name == name_filter]
+        if not grids:
+            raise ValueError(f"no grid named {name_filter!r}")
+    return codec.compress(list(grids), out_path, progress=progress)
+
+
+def decode(
+    in_path: PathLike,
+    model: Union[PathLike, Tuple[VQVAEParams, ModelConfig], VQCodec],
+    *,
+    batch_size: int = 4096,
+    progress: bool = False,
+) -> Tuple[List[LeafGrid], dict]:
+    """Decompress a `.vqvdb` file into LeafGrids (SOP decoder cook
+    semantics, ref: SOP_VQVDB_Decoder.cpp:78-115)."""
+    codec = model if isinstance(model, VQCodec) else make_codec(
+        model, batch_size=batch_size)
+    return codec.decompress(in_path, progress=progress)
