@@ -36,7 +36,9 @@ def init_vq_state(key, num_embeddings: int, embedding_dim: int, dtype=jnp.float3
     return VQState(
         embedding=embed,
         cluster_size=jnp.ones((num_embeddings,), dtype),
-        embed_avg=embed,
+        # Distinct buffer: embedding/embed_avg must not alias or buffer
+        # donation in the train step donates the same buffer twice.
+        embed_avg=jnp.copy(embed),
     )
 
 
