@@ -1,0 +1,204 @@
+"""Command-line interface: train / encode / decode / info / bench / export.
+
+Covers the reference's two entry surfaces — the argparse train CLI
+(ref: python/training.py:261-279) and the Houdini SOP encode/decode nodes
+(ref: src/SOP/) — as subcommands over the same parameters (`vdbname` ->
+--grid, `outputpath`/`inputfile` -> positional paths, `batchsize` ->
+--batch-size).
+
+Usage:
+    python -m vqvdb_tpu.cli train --data-dir data/ --model-path out/m.vqmodel
+    python -m vqvdb_tpu.cli encode leaves.npy scene.vqvdb --model m.vqmodel
+    python -m vqvdb_tpu.cli decode scene.vqvdb out_dir/ --model m.vqmodel
+    python -m vqvdb_tpu.cli info scene.vqvdb
+    python -m vqvdb_tpu.cli bench --model m.vqmodel
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def _cmd_train(args) -> int:
+    import jax
+
+    from vqvdb_tpu.core.artifact import save_model
+    from vqvdb_tpu.core.config import ModelConfig
+    from vqvdb_tpu.train.data import LeafDataset, find_npy_files
+    from vqvdb_tpu.train.train import TrainConfig, train
+
+    files = find_npy_files(args.data_dir)
+    if not files:
+        print(f"error: no .npy files in {args.data_dir}", file=sys.stderr)
+        return 2
+    print(f"found {len(files)} .npy files")
+    ds = LeafDataset(files, in_channels=args.in_channels, stride=args.stride)
+    print(f"dataset: {len(ds)} leaves")
+
+    mcfg = ModelConfig(
+        in_channels=args.in_channels,
+        embedding_dim=args.embedding_dim,
+        num_embeddings=args.num_embeddings,
+    )
+    tcfg = TrainConfig(
+        epochs=args.epochs,
+        batch_size=args.batch_size,
+        lr=args.lr,
+        compute_dtype=args.compute_dtype,
+        seed=args.seed,
+    )
+    mesh = None
+    if args.data_parallel:
+        from vqvdb_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh()
+        print(f"data-parallel over {mesh.devices.size} devices")
+
+    ckpt_dir = args.checkpoint_dir or str(Path(args.model_path).parent / "ckpts")
+    state, history = train(ds, mcfg, tcfg, checkpoint_dir=ckpt_dir,
+                           resume=not args.no_resume, mesh=mesh)
+    Path(args.model_path).parent.mkdir(parents=True, exist_ok=True)
+    save_model(args.model_path, state.params, mcfg)
+    print(f"model saved to {args.model_path}")
+    hist_path = Path(args.model_path).with_suffix(".history.json")
+    hist_path.write_text(json.dumps(history))
+    return 0
+
+
+def _load_grids(path: Path, grid_name):
+    from vqvdb_tpu.vdb.grid import LeafGrid
+
+    if path.is_dir():
+        grids = [LeafGrid.load_npy(f) for f in sorted(path.glob("*.npy"))
+                 if not f.name.endswith("_origins.npy")]
+    else:
+        grids = [LeafGrid.load_npy(path)]
+    if grid_name:
+        grids = [g for g in grids if g.name == grid_name]
+    return grids
+
+
+def _cmd_encode(args) -> int:
+    from vqvdb_tpu import api
+
+    grids = _load_grids(Path(args.input), args.grid)
+    if not grids:
+        print("error: no grids matched", file=sys.stderr)
+        return 2
+    codec = api.make_codec(args.model, batch_size=args.batch_size,
+                           compute_dtype=args.compute_dtype)
+    stats = api.encode(grids, codec, args.output, progress=args.verbose)
+    print(json.dumps({"grids": len(grids), **{k: round(v, 2) if isinstance(v, float)
+                                              else v for k, v in stats.items()}}))
+    return 0
+
+
+def _cmd_decode(args) -> int:
+    from vqvdb_tpu import api
+
+    codec = api.make_codec(args.model, batch_size=args.batch_size,
+                           compute_dtype=args.compute_dtype)
+    grids, stats = api.decode(args.input, codec, progress=args.verbose)
+    out_dir = Path(args.output)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    for g in grids:
+        g.save_npy(out_dir / f"{g.name}.npy")
+    print(json.dumps({"grids": [g.name for g in grids],
+                      **{k: round(v, 2) if isinstance(v, float) else v
+                         for k, v in stats.items()}}))
+    return 0
+
+
+def _cmd_info(args) -> int:
+    from vqvdb_tpu.format.vqvdb import VqvdbReader
+
+    with VqvdbReader(args.input) as r:
+        out = {
+            "version": 3,
+            "num_grids": r.num_grids,
+            "num_embeddings": r.num_embeddings,
+            "latent_dim_count": r.latent_dim_count,
+            "grids": [],
+        }
+        while r.has_next_grid():
+            meta = r.next_grid_metadata()
+            out["grids"].append({
+                "name": meta.name,
+                "latent_shape": list(meta.latent_shape),
+                "total_blocks": meta.total_blocks,
+                "compressed_leaf_bytes": meta.chunk_size,
+            })
+            # skip payload
+            while r.has_next():
+                r.next_batch(65536)
+    print(json.dumps(out, indent=2))
+    return 0
+
+
+def _cmd_bench(args) -> int:
+    import bench  # repo-root harness
+    bench.main()
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="vqvdb_tpu",
+                                description="TPU-native VQ-VAE volume codec")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    pt = sub.add_parser("train", help="Train the VQ-VAE model.")
+    pt.add_argument("--data-dir", required=True, help="Directory with .npy leaf files")
+    pt.add_argument("--model-path", default="models/vqvae.vqmodel")
+    pt.add_argument("--checkpoint-dir", default=None)
+    pt.add_argument("--epochs", type=int, default=30)
+    pt.add_argument("--batch-size", type=int, default=2048)
+    pt.add_argument("--lr", type=float, default=1e-4)
+    pt.add_argument("--num-embeddings", type=int, default=256)
+    pt.add_argument("--embedding-dim", type=int, default=128)
+    pt.add_argument("--in-channels", type=int, default=1, choices=[1, 3])
+    pt.add_argument("--stride", type=int, default=1, help="dataset subsample stride")
+    pt.add_argument("--compute-dtype", default="bfloat16")
+    pt.add_argument("--seed", type=int, default=0)
+    pt.add_argument("--data-parallel", action="store_true",
+                    help="shard batches over all local devices")
+    pt.add_argument("--no-resume", action="store_true")
+    pt.set_defaults(func=_cmd_train)
+
+    pe = sub.add_parser("encode", help="Compress grids to a .vqvdb file.")
+    pe.add_argument("input", help=".npy leaf file or directory of them")
+    pe.add_argument("output", help="output .vqvdb path")
+    pe.add_argument("--model", required=True, help=".vqmodel artifact")
+    pe.add_argument("--grid", default=None, help="grid name filter (SOP vdbname)")
+    pe.add_argument("--batch-size", type=int, default=4096)
+    pe.add_argument("--compute-dtype", default="bfloat16")
+    pe.add_argument("-v", "--verbose", action="store_true")
+    pe.set_defaults(func=_cmd_encode)
+
+    pd = sub.add_parser("decode", help="Decompress a .vqvdb file.")
+    pd.add_argument("input", help=".vqvdb path")
+    pd.add_argument("output", help="output directory for .npy grids")
+    pd.add_argument("--model", required=True)
+    pd.add_argument("--batch-size", type=int, default=4096)
+    pd.add_argument("--compute-dtype", default="bfloat16")
+    pd.add_argument("-v", "--verbose", action="store_true")
+    pd.set_defaults(func=_cmd_decode)
+
+    pi = sub.add_parser("info", help="Inspect a .vqvdb file.")
+    pi.add_argument("input")
+    pi.set_defaults(func=_cmd_info)
+
+    pb = sub.add_parser("bench", help="Run the decode-throughput benchmark.")
+    pb.set_defaults(func=_cmd_bench)
+
+    args = p.parse_args(argv)
+    return args.func(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -38,27 +38,30 @@ def _auto_interpret() -> bool:
 # Nearest-code search
 # ---------------------------------------------------------------------------
 
-def _nearest_kernel(z_ref, cb_ref, out_ref):
-    """One tile: z [TILE_N, D], codebook [K, D] -> indices [1, TILE_N] i32."""
+def _nearest_kernel(z_ref, cbt_ref, out_ref):
+    """One tile: z [TILE_N, D], codebook^T [D, K] -> indices [TILE_N, 1] i32.
+
+    The codebook arrives pre-transposed so the MXU contraction is a plain
+    (M,K)x(K,N) matmul. Contracting dim 1 of both operands instead forces an
+    in-kernel transpose that Mosaic unrolls into ~128MB of register spills
+    on v5e — measured, not hypothetical.
+    """
     z = z_ref[:].astype(jnp.float32)
-    cb = cb_ref[:].astype(jnp.float32)
-    k = cb.shape[0]
+    cbt = cbt_ref[:].astype(jnp.float32)
 
     # partial distance: ||e||^2 - 2 z.e  (||z||^2 dropped; argmin-invariant)
-    e_sq = jnp.sum(cb * cb, axis=1)  # (K,)
+    e_sq = jnp.sum(cbt * cbt, axis=0, keepdims=True)  # (1, K), lane-major
     cross = jax.lax.dot_general(
-        z, cb,
-        dimension_numbers=(((1,), (1,)), ((), ())),
+        z, cbt,
+        dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (TILE_N, K)
-    dist = e_sq[None, :] - 2.0 * cross
+    dist = e_sq - 2.0 * cross
 
-    # First-minimum argmin (torch.argmin tie-breaking): among positions
-    # equal to the row min, take the smallest column id.
-    min_val = jnp.min(dist, axis=1, keepdims=True)
-    col = jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1)
-    idx = jnp.min(jnp.where(dist == min_val, col, k), axis=1)
-    out_ref[:] = idx[None, :].astype(jnp.int32)
+    # jnp.argmin guarantees first-minimum tie-breaking (== torch.argmin) and
+    # lowers to a native Mosaic cross-lane reduction.
+    idx = jnp.argmin(dist, axis=1)
+    out_ref[:] = idx[:, None].astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("tile_n", "interpret"))
@@ -83,17 +86,20 @@ def fused_nearest_indices(
         flat_z = jnp.pad(flat_z, ((0, n_pad - n), (0, 0)))
     n_tiles = n_pad // tile
 
+    # Index IO uses [N, 1] column layout: the last dim equals the full array
+    # dim and the sublane dim is a tile multiple — satisfies Mosaic's block
+    # tiling constraints, which reject (1, TILE) row blocks.
     out = pl.pallas_call(
         _nearest_kernel,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec((tile, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, tile), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_tiles, tile), jnp.int32),
+        out_specs=pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
         interpret=interpret,
-    )(flat_z, codebook)
+    )(flat_z, codebook.T)
     return out.reshape(n_pad)[:n]
 
 
@@ -102,17 +108,18 @@ def fused_nearest_indices(
 # ---------------------------------------------------------------------------
 
 def _dequant_kernel(idx_ref, cb_ref, out_ref):
-    """One tile: idx [1, TILE_N] i32, codebook [K, D] -> vectors [TILE_N, D]."""
-    idx = idx_ref[0, :]  # (TILE_N,)
+    """One tile: idx [TILE_N, 1] i32, codebook [K, D] -> vectors [TILE_N, D]."""
+    idx = idx_ref[:, 0]  # (TILE_N,)
     cb = cb_ref[:]
     k = cb.shape[0]
     col = jax.lax.broadcasted_iota(jnp.int32, (idx.shape[0], k), 1)
     one_hot = (col == idx[:, None]).astype(cb.dtype)
+    # MXU accumulators must be 32-bit; cast down only on the way out.
     out_ref[:] = jax.lax.dot_general(
         one_hot, cb,
         dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=cb.dtype,
-    )
+        preferred_element_type=jnp.float32,
+    ).astype(cb.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("tile_n", "interpret"))
@@ -139,11 +146,11 @@ def fused_dequantize(
         _dequant_kernel,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((1, tile), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((k, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((tile, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_pad, d), codebook.dtype),
         interpret=interpret,
-    )(idx.reshape(n_tiles, tile), codebook)
+    )(idx.reshape(n_pad, 1), codebook)
     return out[:n]
