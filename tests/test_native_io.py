@@ -1,0 +1,76 @@
+"""Native C++ host runtime vs numpy fallback: bit-identical behaviour."""
+
+import numpy as np
+import pytest
+
+from vqvdb_tpu.runtime import native_io
+
+
+requires_native = pytest.mark.skipif(
+    native_io.backend() != "native", reason="native library not built")
+
+
+def _numpy_only(monkeypatch):
+    """Force the numpy fallback path."""
+    monkeypatch.setattr(native_io, "_lib", None)
+    monkeypatch.setattr(native_io, "_tried", True)
+
+
+def test_interleave_deinterleave_roundtrip(rng):
+    n, block = 97, 64
+    origins = rng.integers(-(2**20), 2**20, (n, 3)).astype(np.int32)
+    indices = rng.integers(0, 256, (n, block), dtype=np.uint8)
+    raw = native_io.interleave(origins, indices)
+    assert raw.shape == (n, 12 + block)
+    got_idx, got_org = native_io.deinterleave(raw.tobytes(), block)
+    np.testing.assert_array_equal(got_idx, indices)
+    np.testing.assert_array_equal(got_org, origins)
+
+
+@requires_native
+def test_native_matches_numpy(rng, monkeypatch):
+    n, block = 33, 64
+    origins = rng.integers(-1000, 1000, (n, 3)).astype(np.int32)
+    indices = rng.integers(0, 256, (n, block), dtype=np.uint8)
+    native_raw = native_io.interleave(origins, indices)
+    _numpy_only(monkeypatch)
+    assert native_io.backend() == "numpy"
+    numpy_raw = native_io.interleave(origins, indices)
+    np.testing.assert_array_equal(native_raw, numpy_raw)
+
+
+def test_gather_scatter_roundtrip(rng):
+    dense = rng.random((24, 16, 8, 1), dtype=np.float32)
+    lo = np.array([8, 0, -8], np.int32)
+    origins = np.array([[8, 0, -8], [16, 8, -8], [24, 8, 0]], np.int32)
+    # last origin is partially out of range -> background fill
+    leaves = native_io.gather_leaves(dense, origins, lo, background=7.0)
+    assert leaves.shape == (3, 8, 8, 8, 1)
+    np.testing.assert_array_equal(leaves[0], dense[0:8, 0:8, 0:8])
+    np.testing.assert_array_equal(leaves[1], dense[8:16, 8:16, 0:8])
+    assert (leaves[2] == 7.0).all()  # fully outside
+
+    back = native_io.scatter_leaves(leaves[:2], origins[:2], lo, (24, 16, 8))
+    np.testing.assert_array_equal(back[0:8, 0:8, 0:8], dense[0:8, 0:8, 0:8])
+    np.testing.assert_array_equal(back[8:16, 8:16, 0:8], dense[8:16, 8:16, 0:8])
+    assert (back[16:24] == 0).all()  # untouched region = background
+
+
+@requires_native
+def test_gather_matches_numpy_fallback(rng, monkeypatch):
+    dense = rng.random((16, 16, 16, 3), dtype=np.float32)
+    lo = np.zeros(3, np.int32)
+    origins = np.array([[0, 0, 0], [8, 8, 8], [4, 4, 4]], np.int32)  # unaligned too
+    native_res = native_io.gather_leaves(dense, origins, lo)
+    _numpy_only(monkeypatch)
+    numpy_res = native_io.gather_leaves(dense, origins, lo)
+    np.testing.assert_array_equal(native_res, numpy_res)
+
+
+def test_multichannel_scatter(rng):
+    leaves = rng.random((2, 8, 8, 8, 3), dtype=np.float32)
+    origins = np.array([[0, 0, 0], [8, 0, 0]], np.int32)
+    lo = np.zeros(3, np.int32)
+    dense = native_io.scatter_leaves(leaves, origins, lo, (16, 8, 8))
+    np.testing.assert_array_equal(dense[0:8], leaves[0])
+    np.testing.assert_array_equal(dense[8:16], leaves[1])

@@ -159,10 +159,10 @@ class VqvdbWriter:
                 f"indices row size {indices.shape[1]} != latent size "
                 f"{self._block_data_size}"
             )
-        # Vectorized interleave: [B, 12 + blockDataSize] u8 rows.
-        chunks = np.concatenate(
-            [origins.view(np.uint8).reshape(-1, ORIGIN_BYTES), indices], axis=1
-        )
+        # Single-pass interleave (native C++ when built, numpy otherwise).
+        from vqvdb_tpu.runtime import native_io
+
+        chunks = native_io.interleave(origins, indices)
         f.write(chunks.tobytes())
         self._blocks_written_in_grid += indices.shape[0]
 
@@ -294,11 +294,10 @@ class VqvdbReader:
             raise ValueError("File truncated: Incomplete read during refill.")
         if got < want:
             raise ValueError("File truncated: Incomplete read during refill.")
-        chunks = np.frombuffer(raw, dtype=np.uint8).reshape(got, meta.chunk_size)
-        origins = (
-            chunks[:, :ORIGIN_BYTES].reshape(-1).view(np.int32).reshape(got, 3).copy()
-        )
-        indices = chunks[:, ORIGIN_BYTES:].reshape((got,) + meta.latent_shape).copy()
+        from vqvdb_tpu.runtime import native_io
+
+        indices, origins = native_io.deinterleave(raw, meta.block_data_size)
+        indices = indices.reshape((got,) + meta.latent_shape)
         self._blocks_read += got
         return indices, origins
 
