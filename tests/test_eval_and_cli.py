@@ -1,0 +1,104 @@
+"""Evaluation harness + CLI end-to-end tests (in-process, CPU)."""
+
+import json
+
+import numpy as np
+import pytest
+
+import jax
+
+from vqvdb_tpu.cli import main as cli_main
+from vqvdb_tpu.core.artifact import save_model
+from vqvdb_tpu.core.config import CodecConfig, ModelConfig
+from vqvdb_tpu.eval.metrics import codebook_report, evaluate_codec
+from vqvdb_tpu.models import init_vqvae_params
+from vqvdb_tpu.runtime.codec import VQCodec
+from vqvdb_tpu.train.synthetic import (
+    make_leaf_dataset_files,
+    smoke_grid,
+    smoke_volume,
+    velocity_volume,
+)
+
+
+def test_synthetic_volumes():
+    v = smoke_volume(32, seed=1)
+    assert v.shape == (32, 32, 32)
+    assert 0.0 <= v.min() and v.max() <= 1.0
+    assert (v == 0).mean() > 0.1  # sparse
+    vel = velocity_volume(32, seed=1)
+    assert vel.shape == (32, 32, 32, 3)
+    assert vel.min() >= -1.0 and vel.max() <= 1.0
+    g = smoke_grid(32, seed=1)
+    assert 0 < g.num_leaves <= 64
+
+
+def test_evaluate_codec_and_codebook_report(rng):
+    cfg = ModelConfig(embedding_dim=32, num_embeddings=64)
+    params = init_vqvae_params(jax.random.key(0), cfg)
+    codec = VQCodec(params, cfg, CodecConfig(batch_size=32, compute_dtype="float32"))
+    leaves = smoke_grid(32, seed=2).leaves
+
+    rep = evaluate_codec(codec, leaves)
+    assert rep["num_blocks"] == leaves.shape[0]
+    assert rep["mse"] > 0
+    assert np.isfinite(rep["psnr_p50"])
+    assert rep["per_block_mse"].shape == (leaves.shape[0],)
+
+    cb = codebook_report(rep["indices"], cfg.num_embeddings)
+    assert cb["active_codes"] + cb["dead_codes"] == 64
+    assert cb["total_assignments"] == leaves.shape[0] * 64
+    assert 1.0 <= cb["perplexity"] <= 64
+
+
+def test_cli_datagen_train_encode_decode_eval(tmp_path, capsys):
+    """Full CLI workflow on tiny shapes."""
+    data_dir = tmp_path / "data"
+    rc = cli_main(["datagen", str(data_dir), "--volumes", "2", "--size", "32"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["files"] == 2 and out["leaves"] > 0
+
+    model_path = tmp_path / "m.vqmodel"
+    rc = cli_main([
+        "train", "--data-dir", str(data_dir), "--model-path", str(model_path),
+        "--epochs", "1", "--batch-size", "16", "--embedding-dim", "32",
+        "--num-embeddings", "64", "--compute-dtype", "float32", "--lr", "1e-3",
+    ])
+    assert rc == 0 and model_path.exists()
+    capsys.readouterr()
+
+    vq_path = tmp_path / "scene.vqvdb"
+    rc = cli_main(["encode", str(data_dir / "vol_000.npy"), str(vq_path),
+                   "--model", str(model_path), "--batch-size", "32",
+                   "--compute-dtype", "float32"])
+    assert rc == 0 and vq_path.exists()
+    enc_out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert enc_out["leaves"] > 0
+
+    rc = cli_main(["info", str(vq_path)])
+    assert rc == 0
+    info = json.loads(capsys.readouterr().out)
+    assert info["num_grids"] == 1 and info["num_embeddings"] == 64
+
+    out_dir = tmp_path / "decoded"
+    rc = cli_main(["decode", str(vq_path), str(out_dir),
+                   "--model", str(model_path), "--batch-size", "32",
+                   "--compute-dtype", "float32"])
+    assert rc == 0
+    dec_out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert dec_out["grids"] == ["vol_000"]
+    assert (out_dir / "vol_000.npy").exists()
+
+    rc = cli_main(["eval", "--data-dir", str(data_dir), "--model",
+                   str(model_path), "--max-leaves", "64",
+                   "--batch-size", "32", "--compute-dtype", "float32"])
+    assert rc == 0
+    ev = json.loads(capsys.readouterr().out)
+    assert 0 < ev["num_blocks"] <= 64 and "psnr_p50" in ev and "perplexity" in ev
+
+
+def test_cli_errors(tmp_path, capsys):
+    rc = cli_main(["train", "--data-dir", str(tmp_path / "empty"),
+                   "--model-path", str(tmp_path / "m.vqmodel")])
+    assert rc == 2

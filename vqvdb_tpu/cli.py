@@ -147,6 +147,44 @@ def _cmd_bench(args) -> int:
     return 0
 
 
+def _cmd_eval(args) -> int:
+    """Quality evaluation over a leaf dataset (the reference's notebook
+    acceptance harness as a command, ref: notebook_scalar.ipynb)."""
+    from vqvdb_tpu import api
+    from vqvdb_tpu.eval.metrics import codebook_report, evaluate_codec
+    from vqvdb_tpu.train.data import LeafDataset, find_npy_files
+
+    files = find_npy_files(args.data_dir)
+    if not files:
+        print(f"error: no .npy files in {args.data_dir}", file=sys.stderr)
+        return 2
+    ds = LeafDataset(files, in_channels=args.in_channels, stride=args.stride)
+    leaves = ds.gather(np.arange(min(len(ds), args.max_leaves)))
+    codec = api.make_codec(args.model, batch_size=args.batch_size,
+                           compute_dtype=args.compute_dtype)
+    report = evaluate_codec(codec, leaves)
+    cb = codebook_report(report["indices"],
+                         codec.mcfg.num_embeddings)
+    out = {k: v for k, v in report.items()
+           if not isinstance(v, np.ndarray)}
+    out.update({k: v for k, v in cb.items() if not isinstance(v, np.ndarray)})
+    print(json.dumps(out, indent=2))
+    return 0
+
+
+def _cmd_datagen(args) -> int:
+    """Generate procedural training data (npy leaf files)."""
+    from vqvdb_tpu.train.synthetic import make_leaf_dataset_files
+
+    paths = make_leaf_dataset_files(
+        args.out_dir, n_volumes=args.volumes, size=args.size,
+        seed=args.seed, channels=args.channels)
+    total = sum(int(np.load(p, mmap_mode="r").shape[0]) for p in paths)
+    print(json.dumps({"files": len(paths), "leaves": total,
+                      "dir": str(args.out_dir)}))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="vqvdb_tpu",
                                 description="TPU-native VQ-VAE volume codec")
@@ -195,6 +233,24 @@ def main(argv=None) -> int:
 
     pb = sub.add_parser("bench", help="Run the decode-throughput benchmark.")
     pb.set_defaults(func=_cmd_bench)
+
+    pv = sub.add_parser("eval", help="Quality evaluation over a leaf dataset.")
+    pv.add_argument("--data-dir", required=True)
+    pv.add_argument("--model", required=True)
+    pv.add_argument("--in-channels", type=int, default=1, choices=[1, 3])
+    pv.add_argument("--stride", type=int, default=1)
+    pv.add_argument("--max-leaves", type=int, default=100_000)
+    pv.add_argument("--batch-size", type=int, default=4096)
+    pv.add_argument("--compute-dtype", default="bfloat16")
+    pv.set_defaults(func=_cmd_eval)
+
+    pg = sub.add_parser("datagen", help="Generate procedural npy leaf data.")
+    pg.add_argument("out_dir")
+    pg.add_argument("--volumes", type=int, default=8)
+    pg.add_argument("--size", type=int, default=64)
+    pg.add_argument("--seed", type=int, default=0)
+    pg.add_argument("--channels", type=int, default=1, choices=[1, 3])
+    pg.set_defaults(func=_cmd_datagen)
 
     args = p.parse_args(argv)
     return args.func(args)

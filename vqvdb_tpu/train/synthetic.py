@@ -1,0 +1,125 @@
+"""Procedural volume generation for training, testing and benchmarking.
+
+The reference assumes leaf datasets extracted from production VDBs
+(README "extract leaves to .npy"); in a hermetic environment we need
+volumes with comparable structure. These generators produce smoke/cloud-like
+scalar fields (fBm value noise shaped by radial falloffs) and curl-ish vec3
+fields, then sparsify them into LeafGrids / leaf arrays.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+from vqvdb_tpu.vdb.grid import LeafGrid
+
+
+def _value_noise_3d(shape: Tuple[int, int, int], cell: int, rng) -> np.ndarray:
+    """Trilinearly-interpolated lattice noise in [0,1]."""
+    gx = shape[0] // cell + 2
+    gy = shape[1] // cell + 2
+    gz = shape[2] // cell + 2
+    lattice = rng.random((gx, gy, gz), dtype=np.float32)
+    x = np.arange(shape[0], dtype=np.float32) / cell
+    y = np.arange(shape[1], dtype=np.float32) / cell
+    z = np.arange(shape[2], dtype=np.float32) / cell
+    xi, yi, zi = x.astype(int), y.astype(int), z.astype(int)
+    xf = (x - xi)[:, None, None]
+    yf = (y - yi)[None, :, None]
+    zf = (z - zi)[None, None, :]
+
+    def s(t):  # smoothstep
+        return t * t * (3.0 - 2.0 * t)
+
+    xf, yf, zf = s(xf), s(yf), s(zf)
+    c = lattice
+    n000 = c[np.ix_(xi, yi, zi)]
+    n100 = c[np.ix_(xi + 1, yi, zi)]
+    n010 = c[np.ix_(xi, yi + 1, zi)]
+    n110 = c[np.ix_(xi + 1, yi + 1, zi)]
+    n001 = c[np.ix_(xi, yi, zi + 1)]
+    n101 = c[np.ix_(xi + 1, yi, zi + 1)]
+    n011 = c[np.ix_(xi, yi + 1, zi + 1)]
+    n111 = c[np.ix_(xi + 1, yi + 1, zi + 1)]
+    nx00 = n000 * (1 - xf) + n100 * xf
+    nx10 = n010 * (1 - xf) + n110 * xf
+    nx01 = n001 * (1 - xf) + n101 * xf
+    nx11 = n011 * (1 - xf) + n111 * xf
+    nxy0 = nx00 * (1 - yf) + nx10 * yf
+    nxy1 = nx01 * (1 - yf) + nx11 * yf
+    return nxy0 * (1 - zf) + nxy1 * zf
+
+
+def fbm_noise(shape: Tuple[int, int, int], rng, octaves: int = 3,
+              base_cell: int = 16) -> np.ndarray:
+    """Fractal Brownian motion noise in [0,1]."""
+    out = np.zeros(shape, np.float32)
+    amp, total = 1.0, 0.0
+    cell = base_cell
+    for _ in range(octaves):
+        out += amp * _value_noise_3d(shape, max(cell, 2), rng)
+        total += amp
+        amp *= 0.5
+        cell //= 2
+    return out / total
+
+
+def smoke_volume(size: int = 64, seed: int = 0, n_puffs: int = 3) -> np.ndarray:
+    """Cloud-like scalar density in [0,1], mostly sparse."""
+    rng = np.random.default_rng(seed)
+    shape = (size, size, size)
+    noise = fbm_noise(shape, rng, octaves=3, base_cell=size // 4)
+    coords = np.mgrid[0:size, 0:size, 0:size].astype(np.float32)
+    density = np.zeros(shape, np.float32)
+    for _ in range(n_puffs):
+        center = rng.random(3) * size
+        radius = size * (0.15 + 0.2 * rng.random())
+        r = np.sqrt(((coords - center[:, None, None, None]) ** 2).sum(0))
+        falloff = np.clip(1.0 - r / radius, 0.0, 1.0)
+        density = np.maximum(density, falloff)
+    out = np.clip(density * (0.4 + 0.9 * noise), 0.0, 1.0)
+    out[out < 0.02] = 0.0  # sparsify
+    return out
+
+
+def velocity_volume(size: int = 64, seed: int = 0) -> np.ndarray:
+    """Swirly vec3 field in [-1,1]^3, masked by a smoke density."""
+    rng = np.random.default_rng(seed)
+    mask = smoke_volume(size, seed=seed + 7) > 0
+    comps = [2.0 * fbm_noise((size,) * 3, rng, octaves=2, base_cell=size // 2) - 1.0
+             for _ in range(3)]
+    vel = np.stack(comps, axis=-1).astype(np.float32)
+    vel[~mask] = 0.0
+    return np.clip(vel, -1.0, 1.0)
+
+
+def smoke_grid(size: int = 64, seed: int = 0, name: str = "density") -> LeafGrid:
+    return LeafGrid.from_dense(name, smoke_volume(size, seed))
+
+
+def velocity_grid(size: int = 64, seed: int = 0, name: str = "vel") -> LeafGrid:
+    return LeafGrid.from_dense(name, velocity_volume(size, seed))
+
+
+def make_leaf_dataset_files(out_dir, *, n_volumes: int = 8, size: int = 64,
+                            seed: int = 0, channels: int = 1) -> list:
+    """Write npy leaf files (reference dataset convention) from procedural
+    volumes; returns the list of paths."""
+    from pathlib import Path
+
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    paths = []
+    for i in range(n_volumes):
+        if channels == 1:
+            g = smoke_grid(size, seed=seed + i)
+            arr = g.leaves[..., 0]
+        else:
+            g = velocity_grid(size, seed=seed + i)
+            arr = g.leaves
+        p = out_dir / f"vol_{i:03d}.npy"
+        np.save(p, arr)
+        paths.append(p)
+    return paths
