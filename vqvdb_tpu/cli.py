@@ -19,6 +19,7 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -186,6 +187,15 @@ def _cmd_datagen(args) -> int:
 
 
 def main(argv=None) -> int:
+    # Platform override (e.g. VQVDB_PLATFORM=cpu). Needed because some
+    # environments preload a TPU PJRT plugin at interpreter start, consuming
+    # JAX_PLATFORMS before user code runs; the config API still wins as long
+    # as no backend has been initialized yet.
+    platform = os.environ.get("VQVDB_PLATFORM")
+    if platform:
+        import jax
+        jax.config.update("jax_platforms", platform)
+
     p = argparse.ArgumentParser(prog="vqvdb_tpu",
                                 description="TPU-native VQ-VAE volume codec")
     sub = p.add_subparsers(dest="command", required=True)
