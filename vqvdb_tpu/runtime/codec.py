@@ -172,6 +172,14 @@ class VQCodec:
         """
         if isinstance(grids, LeafGrid):
             grids = [grids]
+        if self.mcfg.num_embeddings > 256:
+            # v3 stores 1 byte per index (ref: VQVDB_Reader.cpp chunk layout);
+            # larger codebooks (e.g. the vec3 notebook's 4096) cannot
+            # round-trip the container — same constraint as the reference.
+            raise ValueError(
+                f"num_embeddings={self.mcfg.num_embeddings} exceeds the "
+                "uint8 index capacity of the .vqvdb v3 format (max 256)"
+            )
         t0 = time.perf_counter()
         total = 0
         with VqvdbWriter(out_path) as w:
