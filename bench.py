@@ -3,41 +3,64 @@
 Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": "leaves/s", "vs_baseline": N}
 
-The reference publishes no absolute throughput (BASELINE.md), so per the
-survey's prescription the baseline row is measured here, on the same chip:
-a faithful re-creation of the reference pipeline's *execution shape* —
-synchronous per-batch loop at the SOP default batch size 64 (ref:
-src/SOP/SOP_VQVDB_Encoder.cpp parm default), f32 math, no fused quantizer
-kernels, result materialized before the next batch is dispatched (the
-reference's hot loop has no overlap, ref: src/orchestrator/
-VQVAECodec.cpp:108-127). `vs_baseline` is optimized / baseline throughput.
+Methodology
+-----------
+Throughput is measured with the batch loop *inside* jit (lax.fori_loop whose
+carry perturbs the input each iteration and accumulates a scalar from every
+output), and the clock stopped on a scalar readback. This is robust against
+async-dispatch illusions — on some transports block_until_ready returns
+before execution finishes, which makes naive host loops report impossible
+numbers.
+
+The reference publishes no absolute throughput (BASELINE.md), so the
+baseline row is measured here on the same chip: the reference's execution
+shape — batch 64 (the SOP parm default, ref: src/SOP/SOP_VQVDB_Encoder.cpp),
+f32 math, no fused quantizer kernels, batches strictly sequential (the
+reference hot loop is fully synchronous, ref: src/orchestrator/
+VQVAECodec.cpp:108-127). `vs_baseline` = optimized / baseline.
 """
 
 from __future__ import annotations
 
+import functools
 import json
 import time
 
 import numpy as np
 
 
-def _steady_rate(fn, n_items: int, *, min_seconds: float = 1.0, warmups: int = 2):
-    """items/sec: warm up, then run until min_seconds have elapsed."""
-    for _ in range(warmups):
-        fn()
-    reps = 0
+def _fenced_rate(decode_step, params, batch, steps: int, num_embeddings: int):
+    """leaves/sec with the loop in-graph and a scalar-readback fence."""
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def loop(params, idx0, n):
+        def body(i, carry):
+            idx, acc = carry
+            rec = decode_step(params, idx)
+            # Perturb input each iteration (prevents loop-invariant hoisting)
+            # and consume every output (prevents DCE).
+            nxt = ((idx.astype(jnp.int32) + 1) % num_embeddings).astype(idx.dtype)
+            return nxt, acc + jnp.sum(rec[0, 0, 0, 0])
+        _, acc = jax.lax.fori_loop(0, n, body, (idx0, jnp.float32(0)))
+        return acc
+
+    float(loop(params, batch, 2))  # compile + warm
+    b = batch.shape[0]
     t0 = time.perf_counter()
-    while True:
-        fn()
-        reps += 1
-        dt = time.perf_counter() - t0
-        if dt >= min_seconds and reps >= 3:
-            return n_items * reps / dt
+    float(loop(params, batch, steps))  # readback fences completion
+    dt = time.perf_counter() - t0
+    # Subtract the fixed per-call overhead using a second, shorter run.
+    t0 = time.perf_counter()
+    float(loop(params, batch, max(steps // 4, 1)))
+    dt_short = time.perf_counter() - t0
+    marginal = (dt - dt_short) / (steps - max(steps // 4, 1))
+    return b / max(marginal, 1e-9)
 
 
 def main() -> None:
     import jax
-    import jax.numpy as jnp
 
     from vqvdb_tpu.core.config import CodecConfig, ModelConfig
     from vqvdb_tpu.models import init_vqvae_params
@@ -48,30 +71,25 @@ def main() -> None:
     params = init_vqvae_params(jax.random.key(0), mcfg)
     rng = np.random.default_rng(0)
 
-    # --- optimized path: bf16, Pallas quantizer, large fixed batches,
-    # pipelined host loop --------------------------------------------------
-    opt_batch = 8192 if on_tpu else 512
-    n_leaves = opt_batch * (8 if on_tpu else 2)
+    import jax.numpy as jnp
+
+    # Optimized path: bf16 compute, Pallas quantizer, large batch.
+    opt_batch = 8192 if on_tpu else 256
+    steps = 64 if on_tpu else 6
     codec = VQCodec(params, mcfg, CodecConfig(batch_size=opt_batch,
                                               compute_dtype="bfloat16"))
-    indices = rng.integers(0, mcfg.num_embeddings,
-                           size=(n_leaves, 4, 4, 4)).astype(np.uint8)
-    value = _steady_rate(lambda: codec.decode_indices(indices), n_leaves)
+    idx = jnp.asarray(rng.integers(0, mcfg.num_embeddings,
+                                   (opt_batch, 4, 4, 4)).astype(np.uint8))
+    value = _fenced_rate(codec._decode_step, params, idx, steps,
+                         mcfg.num_embeddings)
 
-    # --- reference-shaped baseline: batch 64, f32, no Pallas, fully
-    # synchronous dispatch -------------------------------------------------
-    base_codec = VQCodec(params, mcfg, CodecConfig(batch_size=64,
-                                                   compute_dtype="float32",
-                                                   use_pallas=False))
-    base_n = 64 * (64 if on_tpu else 8)
-    base_idx = indices[:base_n]
-
-    def baseline_decode():
-        for s in range(0, base_n, 64):
-            chunk = jnp.asarray(base_idx[s : s + 64])
-            np.asarray(base_codec._decode_jit(base_codec.params, chunk))
-
-    baseline = _steady_rate(baseline_decode, base_n)
+    # Reference-shaped baseline: batch 64, f32, no Pallas, sequential.
+    base = VQCodec(params, mcfg, CodecConfig(batch_size=64,
+                                             compute_dtype="float32",
+                                             use_pallas=False))
+    idx64 = jnp.asarray(idx[:64])
+    baseline = _fenced_rate(base._decode_step, params, idx64,
+                            steps * 16 if on_tpu else 24, mcfg.num_embeddings)
 
     print(json.dumps({
         "metric": "decode_leaves_per_sec_per_chip",

@@ -207,16 +207,15 @@ class VQCodec:
             "bytes": Path(out_path).stat().st_size,
         }
 
-    def decompress(
-        self,
-        in_path: Union[str, Path],
-        *,
-        progress: bool = False,
-    ) -> Tuple[List[LeafGrid], dict]:
-        """Stream a `.vqvdb` file through the decoder into LeafGrids."""
-        t0 = time.perf_counter()
-        grids: List[LeafGrid] = []
-        total = 0
+    def decode_stream(self, in_path: Union[str, Path]):
+        """Memory-bounded streaming decode for arbitrarily large scenes.
+
+        Generator yielding (grid_metadata, leaves_batch [n,8,8,8,C] f32,
+        origins_batch [n,3] i32). Only O(batch_size) leaves are resident at
+        once — the reference's bounded-buffer streaming (64 MiB reader, lazy
+        per-batch reads, ref: VQVDB_Reader.cpp) carried over, with the device
+        pipeline keeping PIPELINE_DEPTH batches in flight.
+        """
         with VqvdbReader(in_path) as r:
             if r.num_embeddings != self.mcfg.num_embeddings:
                 raise ValueError(
@@ -230,42 +229,68 @@ class VQCodec:
                         f"file latent shape {meta.latent_shape} != model "
                         f"{self.mcfg.latent_shape}"
                     )
-                leaves = np.empty(
-                    (meta.total_blocks, LEAF_DIM, LEAF_DIM, LEAF_DIM,
-                     self.mcfg.in_channels),
-                    np.float32,
-                )
-                origins = np.empty((meta.total_blocks, 3), np.int32)
-                # Stream file batches through the pipelined decoder.
                 bs = self.ccfg.batch_size
                 pending: collections.deque = collections.deque()
-                pos = 0
                 while r.has_next():
                     idx, org = r.next_batch(bs)
                     n = idx.shape[0]
-                    origins[pos : pos + n] = org
                     chunk = idx
                     if n < bs:
                         chunk = np.concatenate(
                             [idx, np.zeros((bs - n,) + idx.shape[1:], idx.dtype)]
                         )
                     dev = self._decode_jit(self.params, jnp.asarray(chunk))
-                    pending.append((dev, pos, n))
-                    pos += n
+                    pending.append((dev, org, n))
                     if len(pending) >= PIPELINE_DEPTH:
-                        d, s, m = pending.popleft()
-                        leaves[s : s + m] = np.asarray(d)[:m]
-                        total += m
+                        d, o, m = pending.popleft()
+                        yield meta, np.asarray(d)[:m], o
                 while pending:
-                    d, s, m = pending.popleft()
-                    leaves[s : s + m] = np.asarray(d)[:m]
-                    total += m
-                grids.append(
-                    LeafGrid(name=meta.name, origins=origins, leaves=leaves,
-                             transform=meta.transform)
-                )
+                    d, o, m = pending.popleft()
+                    yield meta, np.asarray(d)[:m], o
+
+    def decompress(
+        self,
+        in_path: Union[str, Path],
+        *,
+        progress: bool = False,
+    ) -> Tuple[List[LeafGrid], dict]:
+        """Stream a `.vqvdb` file through the decoder into LeafGrids.
+
+        Materializes whole grids; for scenes too large to hold in host
+        memory use `decode_stream` directly.
+        """
+        t0 = time.perf_counter()
+        grids: List[LeafGrid] = []
+        total = 0
+        cur_meta = None
+        leaf_parts: List[np.ndarray] = []
+        origin_parts: List[np.ndarray] = []
+
+        def _finish():
+            nonlocal leaf_parts, origin_parts
+            if cur_meta is not None:
+                grids.append(LeafGrid(
+                    name=cur_meta.name,
+                    origins=np.concatenate(origin_parts) if origin_parts
+                    else np.empty((0, 3), np.int32),
+                    leaves=np.concatenate(leaf_parts) if leaf_parts
+                    else np.empty((0, LEAF_DIM, LEAF_DIM, LEAF_DIM,
+                                   self.mcfg.in_channels), np.float32),
+                    transform=cur_meta.transform,
+                ))
+                leaf_parts, origin_parts = [], []
+
+        for meta, leaves, origins in self.decode_stream(in_path):
+            if meta is not cur_meta:
+                _finish()
+                cur_meta = meta
                 if progress:
                     print(f"[decompress] {meta.name}: {meta.total_blocks} leaves")
+            leaf_parts.append(leaves)
+            origin_parts.append(origins)
+            total += leaves.shape[0]
+        _finish()
+
         dt = time.perf_counter() - t0
         stats = {
             "leaves": total,
