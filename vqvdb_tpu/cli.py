@@ -173,6 +173,24 @@ def _cmd_eval(args) -> int:
     return 0
 
 
+def _cmd_import_torch(args) -> int:
+    """Convert a reference torch checkpoint (.pth) to a .vqmodel artifact."""
+    from vqvdb_tpu.core.artifact import save_model
+    from vqvdb_tpu.core.config import ModelConfig
+    from vqvdb_tpu.core.torch_import import import_torch_checkpoint
+
+    cfg = ModelConfig(
+        in_channels=args.in_channels,
+        embedding_dim=args.embedding_dim,
+        num_embeddings=args.num_embeddings,
+    )
+    params = import_torch_checkpoint(args.checkpoint, cfg)
+    Path(args.output).parent.mkdir(parents=True, exist_ok=True)
+    save_model(args.output, params, cfg)
+    print(json.dumps({"imported": str(args.checkpoint), "model": str(args.output)}))
+    return 0
+
+
 def _cmd_datagen(args) -> int:
     """Generate procedural training data (npy leaf files)."""
     from vqvdb_tpu.train.synthetic import make_leaf_dataset_files
@@ -253,6 +271,15 @@ def main(argv=None) -> int:
     pv.add_argument("--batch-size", type=int, default=4096)
     pv.add_argument("--compute-dtype", default="bfloat16")
     pv.set_defaults(func=_cmd_eval)
+
+    pm = sub.add_parser("import-torch",
+                        help="Convert a reference torch .pth checkpoint to .vqmodel.")
+    pm.add_argument("checkpoint")
+    pm.add_argument("output")
+    pm.add_argument("--in-channels", type=int, default=1, choices=[1, 3])
+    pm.add_argument("--embedding-dim", type=int, default=128)
+    pm.add_argument("--num-embeddings", type=int, default=256)
+    pm.set_defaults(func=_cmd_import_torch)
 
     pg = sub.add_parser("datagen", help="Generate procedural npy leaf data.")
     pg.add_argument("out_dir")
