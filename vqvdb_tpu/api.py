@@ -76,3 +76,58 @@ def decode(
     codec = model if isinstance(model, VQCodec) else make_codec(
         model, batch_size=batch_size)
     return codec.decompress(in_path, progress=progress)
+
+
+def encode_sequence(
+    frames: Sequence[Union[LeafGrid, Sequence[LeafGrid]]],
+    model: Union[PathLike, Tuple[VQVAEParams, ModelConfig], VQCodec],
+    out_dir: PathLike,
+    *,
+    pattern: str = "frame_{:04d}.vqvdb",
+    batch_size: int = 4096,
+) -> dict:
+    """Encode an animated VDB sequence, one `.vqvdb` per frame (the
+    reference's per-frame Houdini cook loop). The codec — and its compiled
+    graphs — is built once and reused across frames, so steady-state
+    per-frame cost is pure pipeline time.
+    """
+    codec = model if isinstance(model, VQCodec) else make_codec(
+        model, batch_size=batch_size)
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    per_frame = []
+    total_leaves = 0
+    for i, frame in enumerate(frames):
+        stats = codec.compress(frame, out_dir / pattern.format(i))
+        per_frame.append(stats["seconds"])
+        total_leaves += stats["leaves"]
+    return {
+        "frames": len(per_frame),
+        "leaves": total_leaves,
+        "seconds_per_frame": per_frame,
+        "mean_frame_seconds": sum(per_frame) / max(len(per_frame), 1),
+    }
+
+
+def decode_sequence(
+    in_dir: PathLike,
+    model: Union[PathLike, Tuple[VQVAEParams, ModelConfig], VQCodec],
+    *,
+    pattern: str = "frame_*.vqvdb",
+    batch_size: int = 4096,
+) -> Tuple[List[List[LeafGrid]], dict]:
+    """Decode a directory of per-frame `.vqvdb` files (sorted)."""
+    codec = model if isinstance(model, VQCodec) else make_codec(
+        model, batch_size=batch_size)
+    files = sorted(Path(in_dir).glob(pattern))
+    frames = []
+    per_frame = []
+    for f in files:
+        grids, stats = codec.decompress(f)
+        frames.append(grids)
+        per_frame.append(stats["seconds"])
+    return frames, {
+        "frames": len(frames),
+        "seconds_per_frame": per_frame,
+        "mean_frame_seconds": sum(per_frame) / max(len(per_frame), 1),
+    }
