@@ -72,14 +72,25 @@ def _cmd_train(args) -> int:
     return 0
 
 
-def _load_grids(path: Path, grid_name):
+def _load_one_grid(f: Path):
+    """Load an npy file as a LeafGrid: leaf arrays ([N,8,8,8] or
+    [N,8,8,8,C]) use the dataset convention; anything else is treated as a
+    dense volume ([X,Y,Z] or [X,Y,Z,C]) and sparsified."""
     from vqvdb_tpu.vdb.grid import LeafGrid
 
+    arr = np.load(f, mmap_mode="r")
+    is_leaf_array = arr.ndim >= 4 and arr.shape[1:4] == (8, 8, 8)
+    if is_leaf_array:
+        return LeafGrid.load_npy(f)
+    return LeafGrid.from_dense(f.stem, np.asarray(arr))
+
+
+def _load_grids(path: Path, grid_name):
     if path.is_dir():
-        grids = [LeafGrid.load_npy(f) for f in sorted(path.glob("*.npy"))
+        grids = [_load_one_grid(f) for f in sorted(path.glob("*.npy"))
                  if not f.name.endswith("_origins.npy")]
     else:
-        grids = [LeafGrid.load_npy(path)]
+        grids = [_load_one_grid(path)]
     if grid_name:
         grids = [g for g in grids if g.name == grid_name]
     return grids
