@@ -32,16 +32,31 @@ def test_vec3_file_roundtrip(tmp_path):
     assert g2.leaves.min() >= -1.0 and g2.leaves.max() <= 1.0
 
 
-def test_large_codebook_rejected_for_v3_files(tmp_path):
+def test_large_codebook_uses_v4(tmp_path, rng):
     """The vec3 notebook's 4096-code config cannot round-trip the v3 file
-    (uint8 index ceiling) — must fail loudly, not truncate."""
+    (uint8 index ceiling); the codec auto-upgrades to our v4 extension
+    (u16 indices) and round-trips exactly."""
     cfg = ModelConfig(in_channels=3, embedding_dim=16, num_embeddings=512)
     params = init_vqvae_params(jax.random.key(0), cfg)
     codec = VQCodec(params, cfg, CodecConfig(batch_size=8, compute_dtype="float32"))
-    grid = LeafGrid("v", np.zeros((1, 3), np.int32),
-                    np.zeros((1, 8, 8, 8, 3), np.float32))
-    with pytest.raises(ValueError, match="uint8 index capacity"):
-        codec.compress(grid, tmp_path / "x.vqvdb")
+    grid = LeafGrid("v", (np.arange(15).reshape(5, 3) * 8).astype(np.int32),
+                    rng.random((5, 8, 8, 8, 3), np.float32))
+    path = tmp_path / "x.vqvdb"
+    codec.compress(grid, path)
+
+    from vqvdb_tpu.format.vqvdb import VqvdbReader
+    with VqvdbReader(path) as r:
+        assert r.version == 4
+        meta, idx, org = r.read_grid()
+        assert idx.dtype == np.uint16
+        assert meta.chunk_size == 12 + 64 * 2
+    # decode path consumes u16 indices
+    grids, _ = codec.decompress(path)
+    np.testing.assert_array_equal(grids[0].origins, grid.origins)
+
+    # explicit v3 request with a big codebook must fail loudly
+    with pytest.raises(ValueError, match="requires"):
+        codec.compress(grid, tmp_path / "y.vqvdb", format_version=3)
 
 
 def test_large_codebook_array_level_still_works():

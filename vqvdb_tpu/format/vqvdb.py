@@ -48,15 +48,36 @@ import numpy as np
 
 MAGIC = b"VQVDB"
 FORMAT_VERSION = 3
+# v4 extension (ours): identical layout but indices are stored with
+# ceil(log2(numEmbeddings))-derived width — 1 byte for K<=256 (then the
+# payload is byte-identical to v3), 2 bytes (little-endian u16) otherwise.
+# This lifts the uint8 ceiling the reference hit with its 4096-code vec3
+# configuration (which could not round-trip v3 at all).
+FORMAT_VERSION_V4 = 4
+SUPPORTED_VERSIONS = (FORMAT_VERSION, FORMAT_VERSION_V4)
 
 _HEADER_STRUCT = struct.Struct("<5sBBIB")  # magic, version, numGrids, numEmbeddings, latentDimCount
 HEADER_SIZE = _HEADER_STRUCT.size  # 12
 ORIGIN_BYTES = 12  # 3 x i32
 
 
+def _index_bytes(version: int, num_embeddings: int) -> int:
+    if version == FORMAT_VERSION:
+        return 1
+    return 1 if num_embeddings <= 256 else 2
+
+
+def _index_dtype(version: int, num_embeddings: int):
+    return np.uint8 if _index_bytes(version, num_embeddings) == 1 else np.uint16
+
+
 @dataclasses.dataclass
 class GridMetadata:
-    """Per-grid metadata block (ref: VQVDBMetadata, src/Utils/VQVDB_Reader.hpp:19-28)."""
+    """Per-grid metadata block (ref: VQVDBMetadata, src/Utils/VQVDB_Reader.hpp:19-28).
+
+    index_bytes is 1 for v3 files (always) and for v4 files with K<=256;
+    2 for v4 files with larger codebooks.
+    """
 
     name: str
     num_embeddings: int
@@ -65,14 +86,24 @@ class GridMetadata:
     transform: np.ndarray = dataclasses.field(
         default_factory=lambda: np.eye(4, dtype=np.float32)
     )
+    index_bytes: int = 1
 
     def __post_init__(self) -> None:
         self.latent_shape = tuple(int(d) for d in self.latent_shape)
         self.transform = np.asarray(self.transform, dtype=np.float32).reshape(4, 4)
 
     @property
-    def block_data_size(self) -> int:
+    def num_indices(self) -> int:
         return int(np.prod(self.latent_shape))
+
+    @property
+    def index_dtype(self):
+        return np.uint8 if self.index_bytes == 1 else np.uint16
+
+    @property
+    def block_data_size(self) -> int:
+        """Payload bytes per leaf."""
+        return self.num_indices * self.index_bytes
 
     @property
     def chunk_size(self) -> int:
@@ -89,18 +120,22 @@ class VqvdbWriter:
             w.end_grid()
     """
 
-    def __init__(self, path: Union[str, Path]):
+    def __init__(self, path: Union[str, Path], *, version: int = FORMAT_VERSION):
+        if version not in SUPPORTED_VERSIONS:
+            raise ValueError(f"unsupported vqvdb version {version}")
+        self.version = version
         self._f: Optional[io.BufferedWriter] = open(path, "wb")
         self._num_grids = 0
         self._shared_num_embeddings = 0
         self._shared_latent_dim_count = 0
-        self._block_data_size = 0
+        self._index_bytes = 1
+        self._num_indices = 0
         self._blocks_written_in_grid = 0
         self._declared_blocks = 0
         # Placeholder header: real values are seeked-in on close (ref:
         # writer ctor writes default-constructed header, finalizeHeader()
         # rewrites it with the true grid count).
-        self._f.write(_HEADER_STRUCT.pack(MAGIC, FORMAT_VERSION, 0, 0, 0))
+        self._f.write(_HEADER_STRUCT.pack(MAGIC, version, 0, 0, 0))
 
     # -- context manager -------------------------------------------------
     def __enter__(self) -> "VqvdbWriter":
@@ -123,8 +158,14 @@ class VqvdbWriter:
                 raise ValueError("Inconsistent latent dimension count across grids.")
         if self._num_grids >= 255:
             raise ValueError("v3 format stores numGrids as u8 (max 255 grids).")
+        if self.version == FORMAT_VERSION and metadata.num_embeddings > 256:
+            raise ValueError(
+                "v3 stores 1 byte per index; num_embeddings > 256 requires "
+                "version=4"
+            )
 
-        self._block_data_size = metadata.block_data_size
+        self._index_bytes = _index_bytes(self.version, metadata.num_embeddings)
+        self._num_indices = metadata.num_indices
         self._declared_blocks = int(metadata.total_blocks)
         self._blocks_written_in_grid = 0
 
@@ -145,7 +186,8 @@ class VqvdbWriter:
         origins: int32 [B, 3] leaf origins in index space
         """
         f = self._require_open()
-        indices = np.ascontiguousarray(indices, dtype=np.uint8).reshape(
+        dtype = np.uint8 if self._index_bytes == 1 else np.uint16
+        indices = np.ascontiguousarray(indices, dtype=dtype).reshape(
             indices.shape[0], -1
         )
         origins = np.ascontiguousarray(origins, dtype=np.int32).reshape(-1, 3)
@@ -154,11 +196,13 @@ class VqvdbWriter:
                 f"batch mismatch: {indices.shape[0]} index rows vs "
                 f"{origins.shape[0]} origins"
             )
-        if indices.shape[1] != self._block_data_size:
+        if indices.shape[1] != self._num_indices:
             raise ValueError(
                 f"indices row size {indices.shape[1]} != latent size "
-                f"{self._block_data_size}"
+                f"{self._num_indices}"
             )
+        # Reinterpret as bytes for the interleaver (u16 -> 2 B/index, LE).
+        indices = indices.view(np.uint8).reshape(indices.shape[0], -1)
         # Single-pass interleave (native C++ when built, numpy otherwise).
         from vqvdb_tpu.runtime import native_io
 
@@ -182,7 +226,7 @@ class VqvdbWriter:
             f.write(
                 _HEADER_STRUCT.pack(
                     MAGIC,
-                    FORMAT_VERSION,
+                    self.version,
                     self._num_grids,
                     self._shared_num_embeddings,
                     self._shared_latent_dim_count,
@@ -212,10 +256,11 @@ class VqvdbReader:
         )
         if magic != MAGIC:
             raise ValueError("Invalid VQVDB magic number.")
-        if version != FORMAT_VERSION:
+        if version not in SUPPORTED_VERSIONS:
             raise ValueError(
                 f"Unsupported VQVDB version. Expected {FORMAT_VERSION}, got {version}"
             )
+        self.version = int(version)
         self.num_grids = int(num_grids)
         self.num_embeddings = int(num_embeddings)
         self.latent_dim_count = int(latent_dim_count)
@@ -266,6 +311,7 @@ class VqvdbReader:
             latent_shape=latent_shape,
             total_blocks=int(total_blocks),
             transform=transform,
+            index_bytes=_index_bytes(self.version, self.num_embeddings),
         )
         self._blocks_read = 0
         self._current_grid += 1
@@ -282,8 +328,9 @@ class VqvdbReader:
         """
         if not self.has_next():
             empty_shape = (0,) + (self._meta.latent_shape if self._meta else ())
+            dtype = self._meta.index_dtype if self._meta else np.uint8
             return (
-                np.empty(empty_shape, dtype=np.uint8),
+                np.empty(empty_shape, dtype=dtype),
                 np.empty((0, 3), dtype=np.int32),
             )
         meta = self._meta
@@ -297,7 +344,8 @@ class VqvdbReader:
         from vqvdb_tpu.runtime import native_io
 
         indices, origins = native_io.deinterleave(raw, meta.block_data_size)
-        indices = indices.reshape((got,) + meta.latent_shape)
+        indices = indices.view(meta.index_dtype).reshape(
+            (got,) + meta.latent_shape)
         self._blocks_read += got
         return indices, origins
 

@@ -117,14 +117,15 @@ class VQCodec:
         leaves = np.asarray(leaves, np.float32)
         if leaves.ndim == 4:
             leaves = leaves[..., None]
-        out = np.empty((leaves.shape[0],) + self.mcfg.latent_shape, np.uint8)
+        out = np.empty((leaves.shape[0],) + self.mcfg.latent_shape,
+                       np.dtype(self.mcfg.index_dtype))
         for dev, s, n in self._pipelined(self._encode_jit, leaves):
             out[s : s + n] = np.asarray(dev)[:n]
         return out
 
     def decode_indices(self, indices: np.ndarray) -> np.ndarray:
         """Decode [N,4,4,4] u8 -> [N,8,8,8,C] f32, batched."""
-        indices = np.asarray(indices, np.uint8)
+        indices = np.asarray(indices, np.dtype(self.mcfg.index_dtype))
         out = np.empty(
             (indices.shape[0], LEAF_DIM, LEAF_DIM, LEAF_DIM, self.mcfg.in_channels),
             np.float32,
@@ -165,6 +166,7 @@ class VQCodec:
         out_path: Union[str, Path],
         *,
         progress: bool = False,
+        format_version: Optional[int] = None,
     ) -> dict:
         """Encode grids and stream them to a `.vqvdb` v3 file.
 
@@ -172,17 +174,15 @@ class VQCodec:
         """
         if isinstance(grids, LeafGrid):
             grids = [grids]
-        if self.mcfg.num_embeddings > 256:
-            # v3 stores 1 byte per index (ref: VQVDB_Reader.cpp chunk layout);
-            # larger codebooks (e.g. the vec3 notebook's 4096) cannot
-            # round-trip the container — same constraint as the reference.
-            raise ValueError(
-                f"num_embeddings={self.mcfg.num_embeddings} exceeds the "
-                "uint8 index capacity of the .vqvdb v3 format (max 256)"
-            )
+        if format_version is None:
+            # v3 stores 1 byte per index (ref: VQVDB_Reader.cpp chunk layout)
+            # and is the byte-identical default; codebooks beyond 256 (e.g.
+            # the reference's 4096-code vec3 config, which could not
+            # round-trip v3 at all) auto-upgrade to our v4 extension.
+            format_version = 3 if self.mcfg.num_embeddings <= 256 else 4
         t0 = time.perf_counter()
         total = 0
-        with VqvdbWriter(out_path) as w:
+        with VqvdbWriter(out_path, version=format_version) as w:
             for grid in grids:
                 meta = GridMetadata(
                     name=grid.name,
