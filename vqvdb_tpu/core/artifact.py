@@ -27,6 +27,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import serialization
 
+from vqvdb_tpu.utils.errors import ArtifactError
+
 from vqvdb_tpu.core.config import ModelConfig
 from vqvdb_tpu.models.quantizer import VQState
 from vqvdb_tpu.models.vqvae import VQVAEParams, init_vqvae_params
@@ -49,13 +51,13 @@ def load_model(path: Union[str, Path]) -> Tuple[VQVAEParams, ModelConfig]:
     with open(path, "rb") as f:
         magic = f.read(len(MAGIC))
         if magic != MAGIC:
-            raise ValueError(f"not a vqvdb_tpu model artifact: {path}")
+            raise ArtifactError(f"not a vqvdb_tpu model artifact: {path}")
         (cfg_len,) = struct.unpack("<I", f.read(4))
         cfg = ModelConfig(**json.loads(f.read(cfg_len).decode("utf-8")))
         (p_len,) = struct.unpack("<Q", f.read(8))
         raw = f.read(p_len)
         if len(raw) != p_len:
-            raise ValueError("model artifact truncated")
+            raise ArtifactError("model artifact truncated")
     # Build a template pytree with the right structure, then restore bytes
     # into it (flax from_bytes needs the target structure).
     template = init_vqvae_params(jax.random.key(0), cfg)

@@ -46,6 +46,8 @@ from typing import Iterator, List, Optional, Sequence, Tuple, Union
 
 import numpy as np
 
+from vqvdb_tpu.utils.errors import FormatError, VersionError
+
 MAGIC = b"VQVDB"
 FORMAT_VERSION = 3
 # v4 extension (ours): identical layout but indices are stored with
@@ -122,7 +124,7 @@ class VqvdbWriter:
 
     def __init__(self, path: Union[str, Path], *, version: int = FORMAT_VERSION):
         if version not in SUPPORTED_VERSIONS:
-            raise ValueError(f"unsupported vqvdb version {version}")
+            raise VersionError(f"unsupported vqvdb version {version}")
         self.version = version
         self._f: Optional[io.BufferedWriter] = open(path, "wb")
         self._num_grids = 0
@@ -153,13 +155,13 @@ class VqvdbWriter:
         else:
             # Cross-grid consistency (ref: startGrid consistency checks).
             if metadata.num_embeddings != self._shared_num_embeddings:
-                raise ValueError("Inconsistent number of embeddings across grids.")
+                raise FormatError("Inconsistent number of embeddings across grids.")
             if len(metadata.latent_shape) != self._shared_latent_dim_count:
-                raise ValueError("Inconsistent latent dimension count across grids.")
+                raise FormatError("Inconsistent latent dimension count across grids.")
         if self._num_grids >= 255:
-            raise ValueError("v3 format stores numGrids as u8 (max 255 grids).")
+            raise FormatError("v3 format stores numGrids as u8 (max 255 grids).")
         if self.version == FORMAT_VERSION and metadata.num_embeddings > 256:
-            raise ValueError(
+            raise FormatError(
                 "v3 stores 1 byte per index; num_embeddings > 256 requires "
                 "version=4"
             )
@@ -192,12 +194,12 @@ class VqvdbWriter:
         )
         origins = np.ascontiguousarray(origins, dtype=np.int32).reshape(-1, 3)
         if indices.shape[0] != origins.shape[0]:
-            raise ValueError(
+            raise FormatError(
                 f"batch mismatch: {indices.shape[0]} index rows vs "
                 f"{origins.shape[0]} origins"
             )
         if indices.shape[1] != self._num_indices:
-            raise ValueError(
+            raise FormatError(
                 f"indices row size {indices.shape[1]} != latent size "
                 f"{self._num_indices}"
             )
@@ -212,7 +214,7 @@ class VqvdbWriter:
 
     def end_grid(self) -> None:
         if self._blocks_written_in_grid != self._declared_blocks:
-            raise ValueError(
+            raise FormatError(
                 f"grid declared {self._declared_blocks} blocks but "
                 f"{self._blocks_written_in_grid} were written"
             )
@@ -250,14 +252,14 @@ class VqvdbReader:
         self._f = open(path, "rb")
         raw = self._f.read(HEADER_SIZE)
         if len(raw) < HEADER_SIZE:
-            raise ValueError("Failed to read file header.")
+            raise FormatError("Failed to read file header.")
         magic, version, num_grids, num_embeddings, latent_dim_count = (
             _HEADER_STRUCT.unpack(raw)
         )
         if magic != MAGIC:
-            raise ValueError("Invalid VQVDB magic number.")
+            raise FormatError("Invalid VQVDB magic number.")
         if version not in SUPPORTED_VERSIONS:
-            raise ValueError(
+            raise VersionError(
                 f"Unsupported VQVDB version. Expected {FORMAT_VERSION}, got {version}"
             )
         self.version = int(version)
@@ -286,7 +288,7 @@ class VqvdbReader:
 
     def next_grid_metadata(self) -> GridMetadata:
         if not self.has_next_grid():
-            raise ValueError("No more grids available.")
+            raise FormatError("No more grids available.")
         f = self._f
         (name_len,) = struct.unpack("<I", self._read_exact(4, "grid name length"))
         name = self._read_exact(name_len, "grid name").decode("utf-8")
@@ -338,9 +340,9 @@ class VqvdbReader:
         raw = self._f.read(want * meta.chunk_size)
         got = len(raw) // meta.chunk_size
         if got < want and len(raw) != got * meta.chunk_size:
-            raise ValueError("File truncated: Incomplete read during refill.")
+            raise FormatError("File truncated: Incomplete read during refill.")
         if got < want:
-            raise ValueError("File truncated: Incomplete read during refill.")
+            raise FormatError("File truncated: Incomplete read during refill.")
         from vqvdb_tpu.runtime import native_io
 
         indices, origins = native_io.deinterleave(raw, meta.block_data_size)
@@ -371,7 +373,7 @@ class VqvdbReader:
     def _read_exact(self, n: int, what: str) -> bytes:
         raw = self._f.read(n)
         if len(raw) != n:
-            raise ValueError(f"Failed to read {what}.")
+            raise FormatError(f"Failed to read {what}.")
         return raw
 
 

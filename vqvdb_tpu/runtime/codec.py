@@ -42,6 +42,7 @@ from vqvdb_tpu.models.vqvae import (
 )
 from vqvdb_tpu.models.quantizer import dequantize, nearest_indices
 from vqvdb_tpu.ops.quantize import fused_dequantize, fused_nearest_indices
+from vqvdb_tpu.utils.errors import ModelMismatchError
 from vqvdb_tpu.vdb.grid import LeafGrid
 
 PIPELINE_DEPTH = 2
@@ -104,7 +105,7 @@ class VQCodec:
         out = self._encode_jit(self.params, probe)
         got = tuple(out.shape[1:])
         if got != self.mcfg.latent_shape:
-            raise ValueError(
+            raise ModelMismatchError(
                 f"latent-shape probe mismatch: model produced {got}, "
                 f"config declares {self.mcfg.latent_shape}"
             )
@@ -218,14 +219,14 @@ class VQCodec:
         """
         with VqvdbReader(in_path) as r:
             if r.num_embeddings != self.mcfg.num_embeddings:
-                raise ValueError(
+                raise ModelMismatchError(
                     f"file has {r.num_embeddings} embeddings, model has "
                     f"{self.mcfg.num_embeddings}"
                 )
             while r.has_next_grid():
                 meta = r.next_grid_metadata()
                 if tuple(meta.latent_shape) != self.mcfg.latent_shape:
-                    raise ValueError(
+                    raise ModelMismatchError(
                         f"file latent shape {meta.latent_shape} != model "
                         f"{self.mcfg.latent_shape}"
                     )
