@@ -64,10 +64,15 @@ class CodecConfig:
     platform selection, so only pipeline knobs remain.
     """
 
-    batch_size: int = 4096  # leaves per device step (ref SOP default was 64 — tiny for TPU)
+    batch_size: int = 8192  # leaves per device step (ref SOP default was 64 — tiny for TPU)
     compute_dtype: str = "bfloat16"  # conv compute precision on TPU
     param_dtype: str = "float32"
-    use_pallas: bool = True  # fused Pallas quantizer kernel vs pure-XLA path
+    # Measured on v5e (see docs/ARCHITECTURE.md): the fused Pallas
+    # nearest-code kernel wins encode by ~1.8x over XLA; the Pallas
+    # dequantize loses slightly to XLA's fused one-hot matmul, so decode
+    # defaults to the XLA path.
+    use_pallas: bool = True  # encode-side fused nearest-code kernel
+    use_pallas_dequant: bool = False  # decode-side Pallas dequantize
     donate_buffers: bool = True
 
     @property

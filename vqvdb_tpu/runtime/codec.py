@@ -91,7 +91,7 @@ class VQCodec:
         b = indices.shape[0]
         flat_idx = indices.astype(jnp.int32).reshape(-1)
         codebook = params.vq.embedding.astype(self.ccfg.compute_jnp_dtype)
-        if _use_pallas(self.ccfg):
+        if self.ccfg.use_pallas_dequant and jax.default_backend() == "tpu":
             z = fused_dequantize(flat_idx, codebook)
         else:
             z = dequantize(flat_idx, codebook)
