@@ -1,0 +1,66 @@
+"""Device-resident trainer: equivalence with the host-loop step + learning."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vqvdb_tpu.core.config import ModelConfig
+from vqvdb_tpu.train.fast import make_device_epoch_runner, train_on_device
+from vqvdb_tpu.train.train import (
+    TrainConfig,
+    make_optimizer,
+    make_train_state,
+    train_step,
+)
+
+MCFG = ModelConfig(embedding_dim=32, num_embeddings=64)
+TCFG = TrainConfig(epochs=4, batch_size=16, lr=2e-3, compute_dtype="float32",
+                   dead_code_interval=2, seed=3)
+
+
+def test_device_runner_matches_host_loop(rng):
+    """One epoch in-graph == the same shuffled batches through the host
+    step, parameter-for-parameter."""
+    n = 64
+    data = rng.random((n, 8, 8, 8, 1), dtype=np.float32)
+    opt = make_optimizer(TCFG, 100)
+
+    state_dev = make_train_state(jax.random.key(0), MCFG, TCFG, 100)
+    state_host = jax.tree.map(jnp.copy, state_dev)
+
+    key = jax.random.key(42)
+    run = make_device_epoch_runner(opt, MCFG, TCFG, n)
+    state_dev, trace = run(state_dev, jnp.asarray(data), key, 1)
+
+    # Replicate: the runner's epoch uses one split of `key` for the perm.
+    _, kperm = jax.random.split(key)
+    perm = np.asarray(jax.random.permutation(kperm, n))
+    host_step = jax.jit(lambda s, b: train_step(s, b, opt, MCFG, TCFG))
+    for i in range(n // TCFG.batch_size):
+        idx = perm[i * TCFG.batch_size : (i + 1) * TCFG.batch_size]
+        state_host, metrics, _ = host_step(state_host, jnp.asarray(data[idx]))
+
+    for a, b in zip(jax.tree.leaves(state_dev.params),
+                    jax.tree.leaves(state_host.params)):
+        # atol 1e-5: in-graph and host-loop runs fuse reductions differently
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
+    assert trace.shape == (1, 4)
+    assert np.isfinite(np.asarray(trace)).all()
+
+
+def test_train_on_device_learns(rng):
+    x, y, z = np.mgrid[0:8, 0:8, 0:8].astype(np.float32)
+    leaves = []
+    for i in range(128):
+        c = rng.random(3) * 8
+        r = np.sqrt(((x - c[0]) ** 2 + (y - c[1]) ** 2 + (z - c[2]) ** 2))
+        leaves.append(np.clip(1 - r / 4, 0, 1))
+    data = np.stack(leaves)[..., None]
+
+    state, trace = train_on_device(data, MCFG, TCFG, log_fn=lambda *_: None)
+    assert trace.shape == (TCFG.epochs, 4)
+    assert trace[-1, 1] < trace[0, 1]  # recon_err decreases
+    assert int(state.step) == (128 // 16) * TCFG.epochs

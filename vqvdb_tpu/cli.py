@@ -55,15 +55,25 @@ def _cmd_train(args) -> int:
         compute_dtype=args.compute_dtype,
         seed=args.seed,
     )
-    mesh = None
-    if args.data_parallel:
-        from vqvdb_tpu.parallel.mesh import make_mesh
-        mesh = make_mesh()
-        print(f"data-parallel over {mesh.devices.size} devices")
+    if args.device_resident:
+        # Whole dataset in HBM, epochs inside one compiled program — the
+        # fast path for datasets that fit device memory.
+        from vqvdb_tpu.train.fast import train_on_device
 
-    ckpt_dir = args.checkpoint_dir or str(Path(args.model_path).parent / "ckpts")
-    state, history = train(ds, mcfg, tcfg, checkpoint_dir=ckpt_dir,
-                           resume=not args.no_resume, mesh=mesh)
+        leaves = ds.gather(np.arange(len(ds)))
+        state, trace = train_on_device(leaves, mcfg, tcfg)
+        history = {"loss": trace[:, 0].tolist(), "recon": trace[:, 1].tolist(),
+                   "vq": trace[:, 2].tolist(), "perplexity": trace[:, 3].tolist()}
+    else:
+        mesh = None
+        if args.data_parallel:
+            from vqvdb_tpu.parallel.mesh import make_mesh
+            mesh = make_mesh()
+            print(f"data-parallel over {mesh.devices.size} devices")
+
+        ckpt_dir = args.checkpoint_dir or str(Path(args.model_path).parent / "ckpts")
+        state, history = train(ds, mcfg, tcfg, checkpoint_dir=ckpt_dir,
+                               resume=not args.no_resume, mesh=mesh)
     Path(args.model_path).parent.mkdir(parents=True, exist_ok=True)
     save_model(args.model_path, state.params, mcfg)
     print(f"model saved to {args.model_path}")
@@ -244,6 +254,10 @@ def main(argv=None) -> int:
     pt.add_argument("--seed", type=int, default=0)
     pt.add_argument("--data-parallel", action="store_true",
                     help="shard batches over all local devices")
+    pt.add_argument("--device-resident", action="store_true",
+                    help="keep the whole dataset in device memory and run "
+                         "epochs inside one compiled program (fastest when "
+                         "the dataset fits HBM)")
     pt.add_argument("--no-resume", action="store_true")
     pt.set_defaults(func=_cmd_train)
 

@@ -1,0 +1,133 @@
+"""Device-resident training: whole epochs inside one jit call.
+
+The leaf datasets this codec trains on are small next to HBM (1M leaves =
+2 GiB), so the TPU-native training loop keeps the dataset on device and runs
+`lax.fori_loop(steps)` inside `lax.fori_loop(epochs)` in a single compiled
+program: in-graph shuffling (jax.random.permutation), on-device batch
+gather, fused train steps, and a per-epoch metrics trace out. Host
+involvement drops to one call per dead-code-reset interval — which is what
+makes training fast on transports with high per-dispatch latency, and
+maximally efficient everywhere else.
+
+The math is identical to train.train_step (same loss/EMA/optimizer);
+tests/test_fast_train.py checks step-for-step equivalence against the host
+loop.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from vqvdb_tpu.core.config import ModelConfig
+from vqvdb_tpu.models.quantizer import reset_dead_codes
+from vqvdb_tpu.models.vqvae import VQVAEParams, encoder_apply
+from vqvdb_tpu.train.train import TrainConfig, TrainState, make_optimizer, train_step
+
+METRIC_KEYS = ("loss", "recon_err", "vq_loss", "perplexity")
+
+
+def make_device_epoch_runner(opt, mcfg: ModelConfig, tcfg: TrainConfig,
+                             n_train: int):
+    """Build run(state, data, key, epochs) -> (state, metrics[epochs, 4]).
+
+    data: [N, 8, 8, 8, C] on device; only the first
+    (N // batch_size) * batch_size leaves are touched per epoch (shuffled).
+    """
+    bs = tcfg.batch_size
+    steps_per_epoch = n_train // bs
+    if steps_per_epoch == 0:
+        raise ValueError(f"batch_size {bs} exceeds dataset size {n_train}")
+
+    @functools.partial(jax.jit, static_argnames=("epochs",),
+                       donate_argnums=(0,))
+    def run(state: TrainState, data: jnp.ndarray, key: jnp.ndarray,
+            epochs: int):
+        def epoch_body(e, carry):
+            state, key, trace = carry
+            key, kperm = jax.random.split(key)
+            perm = jax.random.permutation(kperm, n_train)
+
+            def step_body(i, carry2):
+                state, acc = carry2
+                idx = jax.lax.dynamic_slice(perm, (i * bs,), (bs,))
+                batch = jnp.take(data, idx, axis=0)
+                state, metrics, _ = train_step(state, batch, opt, mcfg, tcfg)
+                acc = acc + jnp.stack([metrics[k].astype(jnp.float32)
+                                       for k in METRIC_KEYS])
+                return state, acc
+
+            state, acc = jax.lax.fori_loop(
+                0, steps_per_epoch, step_body,
+                (state, jnp.zeros((len(METRIC_KEYS),), jnp.float32)))
+            trace = trace.at[e].set(acc / steps_per_epoch)
+            return state, key, trace
+
+        trace0 = jnp.zeros((epochs, len(METRIC_KEYS)), jnp.float32)
+        state, key, trace = jax.lax.fori_loop(
+            0, epochs, epoch_body, (state, key, trace0))
+        return state, trace
+
+    return run
+
+
+def train_on_device(
+    dataset_leaves: np.ndarray,
+    mcfg: ModelConfig,
+    tcfg: TrainConfig,
+    *,
+    init_state: Optional[TrainState] = None,
+    log_fn=print,
+) -> Tuple[TrainState, np.ndarray]:
+    """Full device-resident training driver.
+
+    Runs `dead_code_interval` epochs per device call, then performs the
+    dead-code reset from a probe batch (ref cadence: python/training.py:180).
+    Returns (final_state, metrics [epochs, 4] = loss/recon/vq/perplexity).
+    """
+    from vqvdb_tpu.train.train import make_train_state
+
+    leaves = np.asarray(dataset_leaves, np.float32)
+    if leaves.ndim == 4:
+        leaves = leaves[..., None]
+    n = leaves.shape[0]
+    steps_per_epoch = max(n // tcfg.batch_size, 1)
+    total_steps = steps_per_epoch * tcfg.epochs
+    opt = make_optimizer(tcfg, total_steps)
+    state = init_state or make_train_state(
+        jax.random.key(tcfg.seed), mcfg, tcfg, total_steps)
+
+    run = make_device_epoch_runner(opt, mcfg, tcfg, n)
+    data = jnp.asarray(leaves)
+    key = jax.random.key(tcfg.seed + 1)
+    reset_key = jax.random.key(tcfg.seed + 2)
+
+    traces = []
+    done = 0
+    while done < tcfg.epochs:
+        span = min(tcfg.dead_code_interval, tcfg.epochs - done)
+        key, sub = jax.random.split(key)
+        state, trace = run(state, data, sub, span)
+        traces.append(np.asarray(trace))
+        done += span
+        m = traces[-1][-1]
+        log_fn(f"[fast-train] epoch {done}/{tcfg.epochs} "
+               f"loss={m[0]:.5f} recon={m[1]:.5f} vq={m[2]:.5f} ppl={m[3]:.1f}")
+        if done < tcfg.epochs:
+            # Dead-code reset from a probe batch's encoder outputs.
+            reset_key, sub2 = jax.random.split(reset_key)
+            probe = data[: min(tcfg.batch_size, n)]
+            z = encoder_apply(state.params.encoder,
+                              probe.astype(jnp.dtype(tcfg.compute_dtype)), mcfg)
+            flat_z = z.reshape(-1, mcfg.embedding_dim).astype(jnp.float32)
+            new_vq, n_dead = reset_dead_codes(sub2, state.params.vq, flat_z)
+            state = state._replace(params=state.params._replace(vq=new_vq))
+            nd = int(n_dead)
+            if nd:
+                log_fn(f"[fast-train] reset {nd} dead codes")
+    return state, np.concatenate(traces, axis=0)
