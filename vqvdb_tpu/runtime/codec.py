@@ -65,13 +65,19 @@ class VQCodec:
         params: VQVAEParams,
         model_config: ModelConfig,
         codec_config: Optional[CodecConfig] = None,
+        profiler=None,
     ) -> None:
+        from vqvdb_tpu.utils.profiler import Profiler
+
         self.params = params
         self.mcfg = model_config
         self.ccfg = codec_config or CodecConfig()
         self._encode_jit = jax.jit(self._encode_step)
         self._decode_jit = jax.jit(self._decode_step)
         self._latent_shape_checked = False
+        # Stage profiler (host wall clock); pass your own to aggregate
+        # across codecs, or read codec.profiler.report() after a run.
+        self.profiler = profiler if profiler is not None else Profiler()
 
     # -- device steps (traced once per shape) ----------------------------
     def _encode_step(self, params: VQVAEParams, leaves: jnp.ndarray) -> jnp.ndarray:
@@ -151,9 +157,11 @@ class VQCodec:
             if n == 0:
                 break
             if n < bs:
-                pad = np.zeros((bs - n,) + chunk.shape[1:], chunk.dtype)
-                chunk = np.concatenate([chunk, pad], axis=0)
-            dev = step_fn(self.params, jnp.asarray(chunk))
+                with self.profiler("host/pad"):
+                    pad = np.zeros((bs - n,) + chunk.shape[1:], chunk.dtype)
+                    chunk = np.concatenate([chunk, pad], axis=0)
+            with self.profiler("device/dispatch"):
+                dev = step_fn(self.params, jnp.asarray(chunk))
             pending.append((dev, s, n))
             if len(pending) >= PIPELINE_DEPTH:
                 yield pending.popleft()
