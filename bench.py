@@ -98,7 +98,8 @@ def main() -> None:
     # Reference-shaped baseline: batch 64, f32, no Pallas, sequential.
     base = VQCodec(params, mcfg, CodecConfig(batch_size=64,
                                              compute_dtype="float32",
-                                             use_pallas=False))
+                                             use_pallas=False,
+                                             fuse_final_conv=False))
     idx64 = jnp.asarray(idx[:64])
     baseline = _fenced_rate(base._decode_step, params, idx64,
                             16384 if on_tpu else 24, mcfg.num_embeddings)

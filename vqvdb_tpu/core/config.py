@@ -73,6 +73,10 @@ class CodecConfig:
     # defaults to the XLA path.
     use_pallas: bool = True  # encode-side fused nearest-code kernel
     use_pallas_dequant: bool = False  # decode-side Pallas dequantize
+    # Fold the decoder's final conv before the pixel shuffle (exact subpixel
+    # identity, ops/subpixel.py) — the post-shuffle k3 conv on 8^3 runs at
+    # ~3 TFLOP/s on v5e and costs ~25% of decode otherwise.
+    fuse_final_conv: bool = True
     donate_buffers: bool = True
 
     @property

@@ -139,27 +139,48 @@ def encoder_apply(params: Params, x: jnp.ndarray, cfg: ModelConfig) -> jnp.ndarr
         return blocks.conv3d(params["proj"], h)
 
 
-def decoder_apply(params: Params, z: jnp.ndarray, cfg: ModelConfig) -> jnp.ndarray:
-    """z: (B, 4, 4, 4, D) -> reconstruction (B, 8, 8, 8, C)."""
+def decoder_trunk(params: Params, z: jnp.ndarray, cfg: ModelConfig) -> jnp.ndarray:
+    """Decoder up to (and including) up_conv: (B,4,4,4,D) -> (B,4,4,4,256)."""
     if cfg.variant == "scalar":
         h = blocks.conv3d(params["stem_conv"], z, padding=1)
         h = jax.nn.relu(blocks.group_norm(params["stem_gn"], h, 8))
         h = blocks.residual_block(params["rb"], h)
         h = blocks.channel_attention(params["attn"], h)
-        h = blocks.conv3d(params["up_conv"], h, padding=1)
-        h = blocks.pixel_shuffle_3d(h, 2)
-        h = blocks.conv3d(params["final"], h, padding=1)
-        return jax.nn.sigmoid(h.astype(jnp.float32))
     else:
         h = blocks.conv3d(params["stem_conv"], z, padding=1)
         h = jax.nn.relu(blocks.group_norm(params["stem_gn"], h, 8))
         h = blocks.residual_block(params["rb1"], h)
         h = blocks.residual_block(params["rb2"], h)
         h = blocks.channel_attention(params["attn"], h)
-        h = blocks.conv3d(params["up_conv"], h, padding=1)
-        h = blocks.pixel_shuffle_3d(h, 2)
-        h = blocks.conv3d(params["final"], h, padding=1)
-        return jnp.tanh(h.astype(jnp.float32))
+    return blocks.conv3d(params["up_conv"], h, padding=1)
+
+
+def _head_activation(h: jnp.ndarray, cfg: ModelConfig) -> jnp.ndarray:
+    if cfg.variant == "scalar":
+        return jax.nn.sigmoid(h.astype(jnp.float32))
+    return jnp.tanh(h.astype(jnp.float32))
+
+
+def decoder_tail(params: Params, h: jnp.ndarray, cfg: ModelConfig) -> jnp.ndarray:
+    """Standard tail: shuffle -> final k3 conv -> head activation."""
+    h = blocks.pixel_shuffle_3d(h, 2)
+    h = blocks.conv3d(params["final"], h, padding=1)
+    return _head_activation(h, cfg)
+
+
+def decoder_tail_folded(folded: Params, h: jnp.ndarray, cfg: ModelConfig) -> jnp.ndarray:
+    """Inference-optimized tail: final conv folded before the shuffle
+    (exact subpixel identity; see ops/subpixel.py). The k3 conv runs on the
+    MXU-friendly (4^3, 256) tensor and the shuffle becomes a pure reshape
+    of the tiny output."""
+    y = blocks.conv3d(folded, h, padding=1)  # (B,4,4,4, C*8)
+    y = blocks.pixel_shuffle_3d(y, 2)  # (B,8,8,8,C)
+    return _head_activation(y, cfg)
+
+
+def decoder_apply(params: Params, z: jnp.ndarray, cfg: ModelConfig) -> jnp.ndarray:
+    """z: (B, 4, 4, 4, D) -> reconstruction (B, 8, 8, 8, C)."""
+    return decoder_tail(params, decoder_trunk(params, z, cfg), cfg)
 
 
 def encode_to_indices(params: VQVAEParams, x: jnp.ndarray, cfg: ModelConfig) -> jnp.ndarray:
