@@ -187,6 +187,16 @@ def _cmd_eval(args) -> int:
     report = evaluate_codec(codec, leaves)
     cb = codebook_report(report["indices"],
                          codec.mcfg.num_embeddings)
+    if args.report_dir:
+        from vqvdb_tpu.eval.report import write_report
+
+        k = min(6, leaves.shape[0])
+        sample = leaves[:k] if leaves.ndim == 5 else leaves[:k, ..., None]
+        recon = codec.decode_indices(report["indices"][:k])
+        md = write_report(args.report_dir, report, cb,
+                          sample_leaves=sample, sample_recon=recon,
+                          title=f"eval: {args.model}")
+        print(f"report written to {md}", file=sys.stderr)
     out = {k: v for k, v in report.items()
            if not isinstance(v, np.ndarray)}
     out.update({k: v for k, v in cb.items() if not isinstance(v, np.ndarray)})
@@ -295,6 +305,9 @@ def main(argv=None) -> int:
     pv.add_argument("--max-leaves", type=int, default=100_000)
     pv.add_argument("--batch-size", type=int, default=4096)
     pv.add_argument("--compute-dtype", default="bfloat16")
+    pv.add_argument("--report-dir", default=None,
+                    help="also write PNG plots + report.md (the reference "
+                         "notebooks' acceptance plots) into this directory")
     pv.set_defaults(func=_cmd_eval)
 
     pm = sub.add_parser("import-torch",
