@@ -14,7 +14,6 @@ from __future__ import annotations
 from pathlib import Path
 from typing import List, Optional, Sequence, Tuple, Union
 
-import numpy as np
 
 from vqvdb_tpu.core.artifact import load_model, save_model  # noqa: F401
 from vqvdb_tpu.core.config import CodecConfig, ModelConfig

@@ -23,8 +23,6 @@ from pathlib import Path
 from typing import Tuple, Union
 
 import jax
-import jax.numpy as jnp
-import numpy as np
 from flax import serialization
 
 from vqvdb_tpu.utils.errors import ArtifactError

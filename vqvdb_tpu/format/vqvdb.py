@@ -42,7 +42,7 @@ import dataclasses
 import io
 import struct
 from pathlib import Path
-from typing import Iterator, List, Optional, Sequence, Tuple, Union
+from typing import Iterator, Optional, Tuple, Union
 
 import numpy as np
 

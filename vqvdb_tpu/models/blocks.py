@@ -20,11 +20,10 @@ Parity with torch (validated in tests/test_torch_parity.py):
 from __future__ import annotations
 
 import math
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 Params = Dict[str, jnp.ndarray]
 

@@ -21,9 +21,8 @@ the speedup).
 from __future__ import annotations
 
 import itertools
-from typing import Dict, Tuple
+from typing import Dict
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

@@ -23,11 +23,9 @@ Other deliberate departures from the reference:
 from __future__ import annotations
 
 import collections
-import dataclasses
-import functools
 import time
 from pathlib import Path
-from typing import Iterable, List, Optional, Sequence, Tuple, Union
+from typing import List, Optional, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp

@@ -22,11 +22,10 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
-import optax
 
 from vqvdb_tpu.core.config import ModelConfig
 from vqvdb_tpu.models.quantizer import reset_dead_codes
-from vqvdb_tpu.models.vqvae import VQVAEParams, encoder_apply
+from vqvdb_tpu.models.vqvae import encoder_apply
 from vqvdb_tpu.train.train import TrainConfig, TrainState, make_optimizer, train_step
 
 METRIC_KEYS = ("loss", "recon_err", "vq_loss", "perplexity")

@@ -9,7 +9,7 @@ fields, then sparsify them into LeafGrids / leaf arrays.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 
