@@ -1,0 +1,80 @@
+"""HTTP serving layer: round trips through a live server."""
+
+import http.client
+import io
+import json
+import threading
+
+import numpy as np
+import pytest
+
+import jax
+
+from vqvdb_tpu.core.config import CodecConfig, ModelConfig
+from vqvdb_tpu.models import init_vqvae_params
+from vqvdb_tpu.runtime.codec import VQCodec
+from vqvdb_tpu.serving import CodecService, make_server
+from vqvdb_tpu.train.synthetic import smoke_volume
+
+
+@pytest.fixture(scope="module")
+def server():
+    cfg = ModelConfig(embedding_dim=32, num_embeddings=64)
+    codec = VQCodec(init_vqvae_params(jax.random.key(0), cfg), cfg,
+                    CodecConfig(batch_size=32, compute_dtype="float32"))
+    service = CodecService(codec)
+    srv = make_server(service, "127.0.0.1", 0)  # ephemeral port
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield srv.server_address
+    srv.shutdown()
+
+
+def _request(addr, method, path, body=None):
+    conn = http.client.HTTPConnection(*addr, timeout=120)
+    conn.request(method, path, body=body)
+    resp = conn.getresponse()
+    data = resp.read()
+    conn.close()
+    return resp.status, data
+
+
+def test_healthz_and_stats(server):
+    status, data = _request(server, "GET", "/healthz")
+    assert status == 200
+    info = json.loads(data)
+    assert info["status"] == "ok" and info["model"]["num_embeddings"] == 64
+
+    status, data = _request(server, "GET", "/stats")
+    assert status == 200
+    assert "counters" in json.loads(data)
+
+
+def test_encode_decode_roundtrip_over_http(server):
+    dense = smoke_volume(24, seed=3)
+    buf = io.BytesIO()
+    np.save(buf, dense)
+
+    status, vq_bytes = _request(server, "POST", "/encode?name=density",
+                                buf.getvalue())
+    assert status == 200
+    assert vq_bytes[:5] == b"VQVDB"
+
+    status, npz_bytes = _request(server, "POST", "/decode", vq_bytes)
+    assert status == 200
+    out = np.load(io.BytesIO(npz_bytes))
+    assert "density_leaves" in out and "density_origins" in out
+    assert out["density_leaves"].shape[1:] == (8, 8, 8, 1)
+
+    status, data = _request(server, "GET", "/stats")
+    counters = json.loads(data)["counters"]
+    assert counters["encode"] >= 1 and counters["decode"] >= 1
+
+
+def test_bad_requests(server):
+    status, data = _request(server, "POST", "/decode", b"not a vqvdb file")
+    assert status == 400
+    assert "error" in json.loads(data)
+
+    status, _ = _request(server, "GET", "/nope")
+    assert status == 404

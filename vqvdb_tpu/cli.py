@@ -202,6 +202,17 @@ def _cmd_eval(args) -> int:
     return 0
 
 
+def _cmd_serve(args) -> int:
+    """Run the codec as an HTTP service (see vqvdb_tpu/serving.py)."""
+    from vqvdb_tpu import api
+    from vqvdb_tpu.serving import serve
+
+    codec = api.make_codec(args.model, batch_size=args.batch_size,
+                           compute_dtype=args.compute_dtype)
+    serve(codec, host=args.host, port=args.port)
+    return 0
+
+
 def _cmd_import_torch(args) -> int:
     """Convert a reference torch checkpoint (.pth) to a .vqmodel artifact."""
     from vqvdb_tpu.core.artifact import save_model
@@ -307,6 +318,14 @@ def main(argv=None) -> int:
                     help="also write PNG plots + report.md (the reference "
                          "notebooks' acceptance plots) into this directory")
     pv.set_defaults(func=_cmd_eval)
+
+    ps = sub.add_parser("serve", help="Serve the codec over HTTP.")
+    ps.add_argument("--model", required=True)
+    ps.add_argument("--host", default="127.0.0.1")
+    ps.add_argument("--port", type=int, default=8990)
+    ps.add_argument("--batch-size", type=int, default=8192)
+    ps.add_argument("--compute-dtype", default="bfloat16")
+    ps.set_defaults(func=_cmd_serve)
 
     pm = sub.add_parser("import-torch",
                         help="Convert a reference torch .pth checkpoint to .vqmodel.")

@@ -1,0 +1,154 @@
+"""HTTP serving layer: the codec as a long-lived network service.
+
+The reference's deployment story is a Houdini plugin on a workstation; a
+TPU-native codec instead serves farms and pipelines over the network. This
+module exposes one warm `VQCodec` (graphs compiled once at startup) behind a
+small threaded HTTP API:
+
+    GET  /healthz            -> {"status": "ok", model/config info}
+    GET  /stats              -> request counters + stage-profiler report
+    POST /encode?name=NAME   -> body: .npy bytes (dense volume [X,Y,Z(,C)]
+                                or leaf array [N,8,8,8(,C)]);
+                                response: .vqvdb bytes
+    POST /decode             -> body: .vqvdb bytes;
+                                response: .npz with {name}_leaves /
+                                {name}_origins arrays per grid
+
+Device dispatch is serialized with a lock (one TPU stream); request parsing
+and response serialization run threaded. Start via
+`python -m vqvdb_tpu.cli serve --model m.vqmodel --port 8990`.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import tempfile
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
+from typing import Optional
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+from vqvdb_tpu.runtime.codec import VQCodec
+from vqvdb_tpu.vdb.grid import LeafGrid
+
+
+class CodecService:
+    """Wraps a warm codec with counters and a device lock."""
+
+    def __init__(self, codec: VQCodec) -> None:
+        self.codec = codec
+        self.lock = threading.Lock()
+        self.counters = {"encode": 0, "decode": 0, "errors": 0}
+        self.started = time.time()
+        codec.check_latent_shape()  # compile + self-check up front
+
+    # -- operations -------------------------------------------------------
+    def encode_npy(self, raw: bytes, name: str) -> bytes:
+        arr = np.load(io.BytesIO(raw), allow_pickle=False)
+        if arr.ndim >= 4 and arr.shape[1:4] == (8, 8, 8):
+            n = arr.shape[0]
+            side = int(np.ceil(n ** (1 / 3)))
+            origins = np.stack(
+                np.unravel_index(np.arange(n), (side, side, side)), axis=1
+            ).astype(np.int32) * 8
+            grid = LeafGrid(name, origins, arr)
+        else:
+            grid = LeafGrid.from_dense(name, arr)
+        with tempfile.NamedTemporaryFile(suffix=".vqvdb") as f:
+            with self.lock:
+                self.codec.compress(grid, f.name)
+            self.counters["encode"] += 1
+            return Path(f.name).read_bytes()
+
+    def decode_vqvdb(self, raw: bytes) -> bytes:
+        with tempfile.NamedTemporaryFile(suffix=".vqvdb") as f:
+            Path(f.name).write_bytes(raw)
+            with self.lock:
+                grids, _ = self.codec.decompress(f.name)
+        out = io.BytesIO()
+        arrays = {}
+        for g in grids:
+            arrays[f"{g.name}_leaves"] = g.leaves
+            arrays[f"{g.name}_origins"] = g.origins
+        np.savez(out, **arrays)
+        self.counters["decode"] += 1
+        return out.getvalue()
+
+    def info(self) -> dict:
+        return {
+            "status": "ok",
+            "model": {
+                "variant": self.codec.mcfg.variant,
+                "num_embeddings": self.codec.mcfg.num_embeddings,
+                "embedding_dim": self.codec.mcfg.embedding_dim,
+            },
+            "batch_size": self.codec.ccfg.batch_size,
+            "compute_dtype": self.codec.ccfg.compute_dtype,
+        }
+
+    def stats(self) -> dict:
+        return {
+            "uptime_s": time.time() - self.started,
+            "counters": dict(self.counters),
+            "profile": self.codec.profiler.report(),
+        }
+
+
+def make_server(service: CodecService, host: str = "127.0.0.1",
+                port: int = 8990) -> ThreadingHTTPServer:
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *args):  # quiet
+            pass
+
+        def _send(self, code: int, body: bytes,
+                  ctype: str = "application/json") -> None:
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _json(self, code: int, obj) -> None:
+            self._send(code, json.dumps(obj).encode())
+
+        def do_GET(self):
+            path = urlparse(self.path).path
+            if path == "/healthz":
+                self._json(200, service.info())
+            elif path == "/stats":
+                self._json(200, service.stats())
+            else:
+                self._json(404, {"error": f"unknown path {path}"})
+
+        def do_POST(self):
+            parsed = urlparse(self.path)
+            length = int(self.headers.get("Content-Length", 0))
+            raw = self.rfile.read(length)
+            try:
+                if parsed.path == "/encode":
+                    name = parse_qs(parsed.query).get("name", ["density"])[0]
+                    self._send(200, service.encode_npy(raw, name),
+                               "application/octet-stream")
+                elif parsed.path == "/decode":
+                    self._send(200, service.decode_vqvdb(raw),
+                               "application/octet-stream")
+                else:
+                    self._json(404, {"error": f"unknown path {parsed.path}"})
+            except Exception as e:  # surface as 400 with message
+                service.counters["errors"] += 1
+                self._json(400, {"error": f"{type(e).__name__}: {e}"})
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def serve(codec: VQCodec, host: str = "127.0.0.1", port: int = 8990) -> None:
+    service = CodecService(codec)
+    server = make_server(service, host, port)
+    print(f"[serve] listening on http://{host}:{port} "
+          f"(model: {service.info()['model']})")
+    server.serve_forever()
