@@ -71,6 +71,29 @@ def test_encode_decode_roundtrip_over_http(server):
     assert counters["encode"] >= 1 and counters["decode"] >= 1
 
 
+def test_concurrent_requests(server):
+    """Race check: parallel clients hammer the service; the device lock
+    serializes dispatch while responses stay consistent per-client."""
+    import concurrent.futures
+
+    dense = smoke_volume(16, seed=5)
+    buf = io.BytesIO()
+    np.save(buf, dense)
+    payload = buf.getvalue()
+
+    def round_trip(_):
+        status, vq = _request(server, "POST", "/encode?name=g", payload)
+        assert status == 200
+        status, npz = _request(server, "POST", "/decode", vq)
+        assert status == 200
+        return np.load(io.BytesIO(npz))["g_leaves"]
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=4) as ex:
+        results = list(ex.map(round_trip, range(8)))
+    for r in results[1:]:
+        np.testing.assert_array_equal(r, results[0])
+
+
 def test_bad_requests(server):
     status, data = _request(server, "POST", "/decode", b"not a vqvdb file")
     assert status == 400
