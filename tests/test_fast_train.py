@@ -64,3 +64,19 @@ def test_train_on_device_learns(rng):
     assert trace.shape == (TCFG.epochs, 4)
     assert trace[-1, 1] < trace[0, 1]  # recon_err decreases
     assert int(state.step) == (128 // 16) * TCFG.epochs
+
+
+def test_train_on_device_checkpoint_resume(tmp_path, rng):
+    data = rng.random((64, 8, 8, 8, 1), dtype=np.float32)
+    ckpt = tmp_path / "ck"
+    # 2 epochs (one reset interval), checkpointed
+    t2 = TrainConfig(**{**TCFG.__dict__, "epochs": 2})
+    s1, tr1 = train_on_device(data, MCFG, t2, checkpoint_dir=str(ckpt),
+                              log_fn=lambda *_: None)
+    assert int(s1.step) == (64 // 16) * 2
+    # extend to 4 epochs: resumes from step 8 instead of restarting
+    t4 = TrainConfig(**{**TCFG.__dict__, "epochs": 4})
+    s2, tr2 = train_on_device(data, MCFG, t4, checkpoint_dir=str(ckpt),
+                              log_fn=lambda *_: None)
+    assert int(s2.step) == (64 // 16) * 4
+    assert tr2.shape[0] == 2  # only the remaining epochs ran

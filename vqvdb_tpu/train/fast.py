@@ -81,12 +81,16 @@ def train_on_device(
     tcfg: TrainConfig,
     *,
     init_state: Optional[TrainState] = None,
+    checkpoint_dir: Optional[str] = None,
+    resume: bool = True,
     log_fn=print,
 ) -> Tuple[TrainState, np.ndarray]:
     """Full device-resident training driver.
 
     Runs `dead_code_interval` epochs per device call, then performs the
     dead-code reset from a probe batch (ref cadence: python/training.py:180).
+    With checkpoint_dir, saves at every reset boundary and resumes from the
+    latest checkpoint (same orbax manager as the host-loop trainer).
     Returns (final_state, metrics [epochs, 4] = loss/recon/vq/perplexity).
     """
     from vqvdb_tpu.train.train import make_train_state
@@ -101,13 +105,31 @@ def train_on_device(
     state = init_state or make_train_state(
         jax.random.key(tcfg.seed), mcfg, tcfg, total_steps)
 
+    manager = None
+    done = 0
+    if checkpoint_dir:
+        from vqvdb_tpu.train.checkpoint import CheckpointManager
+
+        manager = CheckpointManager(checkpoint_dir,
+                                    max_to_keep=tcfg.max_checkpoints)
+        if resume:
+            restored = manager.restore_latest(state)
+            if restored is not None:
+                step0, state = restored
+                done = int(step0) // steps_per_epoch
+                log_fn(f"[fast-train] resumed at epoch {done} (step {step0})")
+
     run = make_device_epoch_runner(opt, mcfg, tcfg, n)
     data = jnp.asarray(leaves)
     key = jax.random.key(tcfg.seed + 1)
     reset_key = jax.random.key(tcfg.seed + 2)
+    # Burn key splits for already-completed spans so a resumed run shuffles
+    # with the same stream it would have used uninterrupted.
+    for _ in range(done // max(tcfg.dead_code_interval, 1)):
+        key, _ = jax.random.split(key)
+        reset_key, _ = jax.random.split(reset_key)
 
     traces = []
-    done = 0
     while done < tcfg.epochs:
         span = min(tcfg.dead_code_interval, tcfg.epochs - done)
         key, sub = jax.random.split(key)
@@ -129,4 +151,8 @@ def train_on_device(
             nd = int(n_dead)
             if nd:
                 log_fn(f"[fast-train] reset {nd} dead codes")
+        if manager is not None:
+            manager.save(int(state.step), state,
+                         metrics={"epoch": done,
+                                  "loss": float(traces[-1][-1][0])})
     return state, np.concatenate(traces, axis=0)
