@@ -128,7 +128,14 @@ def _cmd_decode(args) -> int:
     out_dir = Path(args.output)
     out_dir.mkdir(parents=True, exist_ok=True)
     for g in grids:
-        g.save_npy(out_dir / f"{g.name}.npy")
+        if args.dense:
+            dense, lo = g.to_dense()
+            np.save(out_dir / f"{g.name}.dense.npy",
+                    dense[..., 0] if dense.shape[-1] == 1 else dense)
+            (out_dir / f"{g.name}.origin.json").write_text(
+                json.dumps({"min_corner": lo.tolist()}))
+        else:
+            g.save_npy(out_dir / f"{g.name}.npy")
     print(json.dumps({"grids": [g.name for g in grids],
                       **{k: round(v, 2) if isinstance(v, float) else v
                          for k, v in stats.items()}}))
@@ -296,6 +303,9 @@ def main(argv=None) -> int:
     pd.add_argument("--model", required=True)
     pd.add_argument("--batch-size", type=int, default=4096)
     pd.add_argument("--compute-dtype", default="bfloat16")
+    pd.add_argument("--dense", action="store_true",
+                    help="write dense volumes (scattered over each grid's "
+                         "bbox) instead of leaf arrays")
     pd.add_argument("-v", "--verbose", action="store_true")
     pd.set_defaults(func=_cmd_decode)
 

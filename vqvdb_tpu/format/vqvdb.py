@@ -188,6 +188,8 @@ class VqvdbWriter:
         origins: int32 [B, 3] leaf origins in index space
         """
         f = self._require_open()
+        if indices.shape[0] == 0:
+            return  # empty batch: nothing to write
         dtype = np.uint8 if self._index_bytes == 1 else np.uint16
         indices = np.ascontiguousarray(indices, dtype=dtype).reshape(
             indices.shape[0], -1

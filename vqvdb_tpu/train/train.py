@@ -97,18 +97,21 @@ def make_train_state(
 # Sobel gradient loss (capability parity with ref training.py:15-44)
 # ---------------------------------------------------------------------------
 
-def _sobel_kernels() -> jnp.ndarray:
-    """3D Sobel operators along x/y/z as a (3,3,3,1,3) DHWIO conv kernel."""
+def _sobel_kernels() -> np.ndarray:
+    """3D Sobel operators along x/y/z as a (3,3,3,1,3) DHWIO conv kernel.
+
+    Kept as a host constant: creating a device array at import time would
+    initialize a JAX backend before callers can override the platform.
+    """
     smooth = np.array([1.0, 2.0, 1.0], np.float32)
     diff = np.array([-1.0, 0.0, 1.0], np.float32)
     gx = np.einsum("i,j,k->ijk", diff, smooth, smooth)
     gy = np.einsum("i,j,k->ijk", smooth, diff, smooth)
     gz = np.einsum("i,j,k->ijk", smooth, smooth, diff)
-    k = np.stack([gx, gy, gz], axis=-1)[:, :, :, None, :]  # (3,3,3,1,3)
-    return jnp.asarray(k)
+    return np.stack([gx, gy, gz], axis=-1)[:, :, :, None, :]  # (3,3,3,1,3)
 
 
-_SOBEL = _sobel_kernels()
+_SOBEL = _sobel_kernels()  # numpy; converted to a device array under trace
 
 
 def gradient_loss(recon: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
