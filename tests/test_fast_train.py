@@ -80,3 +80,21 @@ def test_train_on_device_checkpoint_resume(tmp_path, rng):
                               log_fn=lambda *_: None)
     assert int(s2.step) == (64 // 16) * 4
     assert tr2.shape[0] == 2  # only the remaining epochs ran
+
+
+def test_export_checkpoint_cli(tmp_path, rng):
+    from vqvdb_tpu.cli import main as cli_main
+
+    data = rng.random((32, 8, 8, 8, 1), dtype=np.float32)
+    ckpt = tmp_path / "ck"
+    t1 = TrainConfig(**{**TCFG.__dict__, "epochs": 2})
+    train_on_device(data, MCFG, t1, checkpoint_dir=str(ckpt),
+                    log_fn=lambda *_: None)
+    out = tmp_path / "exported.vqmodel"
+    rc = cli_main(["export-checkpoint", str(ckpt), str(out),
+                   "--embedding-dim", "32", "--num-embeddings", "64"])
+    assert rc == 0 and out.exists()
+
+    from vqvdb_tpu.core.artifact import load_model
+    params, cfg = load_model(out)
+    assert cfg.embedding_dim == 32

@@ -238,6 +238,35 @@ def _cmd_import_torch(args) -> int:
     return 0
 
 
+def _cmd_export_checkpoint(args) -> int:
+    """Export a training checkpoint to a .vqmodel inference artifact
+    (the reference's checkpoint -> deployable-model step, without the
+    TorchScript/ONNX/C-array chain)."""
+    import jax
+
+    from vqvdb_tpu.core.artifact import save_model
+    from vqvdb_tpu.core.config import ModelConfig
+    from vqvdb_tpu.train.checkpoint import CheckpointManager
+    from vqvdb_tpu.train.train import TrainConfig, make_train_state
+
+    mcfg = ModelConfig(
+        in_channels=args.in_channels,
+        embedding_dim=args.embedding_dim,
+        num_embeddings=args.num_embeddings,
+    )
+    template = make_train_state(jax.random.key(0), mcfg, TrainConfig(), 1)
+    manager = CheckpointManager(args.checkpoint_dir)
+    step = args.step if args.step is not None else manager.latest_step()
+    if step is None:
+        print(f"error: no checkpoints in {args.checkpoint_dir}", file=sys.stderr)
+        return 2
+    state = manager.restore(step, template)
+    Path(args.output).parent.mkdir(parents=True, exist_ok=True)
+    save_model(args.output, state.params, mcfg)
+    print(json.dumps({"checkpoint_step": int(step), "model": str(args.output)}))
+    return 0
+
+
 def _cmd_datagen(args) -> int:
     """Generate procedural training data (npy leaf files)."""
     from vqvdb_tpu.train.synthetic import make_leaf_dataset_files
@@ -345,6 +374,17 @@ def main(argv=None) -> int:
     pm.add_argument("--embedding-dim", type=int, default=128)
     pm.add_argument("--num-embeddings", type=int, default=256)
     pm.set_defaults(func=_cmd_import_torch)
+
+    px = sub.add_parser("export-checkpoint",
+                        help="Export a training checkpoint to a .vqmodel artifact.")
+    px.add_argument("checkpoint_dir")
+    px.add_argument("output")
+    px.add_argument("--step", type=int, default=None,
+                    help="checkpoint step (default: latest)")
+    px.add_argument("--in-channels", type=int, default=1, choices=[1, 3])
+    px.add_argument("--embedding-dim", type=int, default=128)
+    px.add_argument("--num-embeddings", type=int, default=256)
+    px.set_defaults(func=_cmd_export_checkpoint)
 
     pg = sub.add_parser("datagen", help="Generate procedural npy leaf data.")
     pg.add_argument("out_dir")
