@@ -31,7 +31,7 @@ Notes kept faithful to the reference:
     numEmbeddings field is metadata only.
 
 This is the pure-Python/numpy implementation; the C++ fast path in
-native/vqvdb_io.cpp implements the same layout for bulk interleave/
+native/vqvdb_native.cpp implements the same layout for bulk interleave/
 deinterleave and is used transparently when built (see
 vqvdb_tpu.runtime.native_io).
 """
