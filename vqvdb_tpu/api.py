@@ -29,7 +29,7 @@ def make_codec(
     *,
     batch_size: int = 4096,
     compute_dtype: str = "bfloat16",
-    use_pallas: bool = True,
+    use_pallas: bool = False,
 ) -> VQCodec:
     """Build a codec from a `.vqmodel` artifact path or (params, cfg)."""
     if isinstance(model, (str, Path)):

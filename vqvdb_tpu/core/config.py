@@ -67,16 +67,22 @@ class CodecConfig:
     batch_size: int = 8192  # leaves per device step (ref SOP default was 64 — tiny for TPU)
     compute_dtype: str = "bfloat16"  # conv compute precision on TPU
     param_dtype: str = "float32"
-    # Measured on v5e (see docs/ARCHITECTURE.md): the fused Pallas
-    # nearest-code kernel wins encode by ~1.8x over XLA; the Pallas
-    # dequantize loses slightly to XLA's fused one-hot matmul, so decode
-    # defaults to the XLA path.
-    use_pallas: bool = True  # encode-side fused nearest-code kernel
+    # Measured on v5e with fence-robust timing (docs/ARCHITECTURE.md):
+    # XLA's fused GEMM+argmin beats the hand-written Pallas quantizer
+    # kernels in full-graph context — the pallas_call custom-call boundary
+    # forces the conv output to materialize instead of fusing into the
+    # score matmul. Defaults follow the measurements; the kernels remain
+    # available (and bit-exact-tested) for configurations where they win.
+    use_pallas: bool = False  # encode-side Pallas nearest-code kernel
     use_pallas_dequant: bool = False  # decode-side Pallas dequantize
     # Fold the decoder's final conv before the pixel shuffle (exact subpixel
     # identity, ops/subpixel.py) — the post-shuffle k3 conv on 8^3 runs at
     # ~3 TFLOP/s on v5e and costs ~25% of decode otherwise.
     fuse_final_conv: bool = True
+    # Compose the encoder's 1x1 projection with the quantizer distance
+    # matmul into one score GEMM (exact; ops/quantize.py) — the separate
+    # proj + quantize stages are the slowest part of encode on v5e.
+    fuse_proj_quantize: bool = True
     donate_buffers: bool = True
 
     @property

@@ -118,16 +118,17 @@ def init_vqvae_params(key, cfg: ModelConfig, dtype=jnp.float32) -> VQVAEParams:
 # Apply
 # ---------------------------------------------------------------------------
 
-def encoder_apply(params: Params, x: jnp.ndarray, cfg: ModelConfig) -> jnp.ndarray:
-    """x: (B, 8, 8, 8, C) -> latents (B, 4, 4, 4, D)."""
+def encoder_features(params: Params, x: jnp.ndarray, cfg: ModelConfig) -> jnp.ndarray:
+    """Encoder up to (excluding) the 1x1 projection: (B,8,8,8,C) ->
+    (B,4,4,4,32|128). Split out so inference can fuse the projection into
+    the quantizer's score matmul (see runtime/codec.py)."""
     if cfg.variant == "scalar":
         h = blocks.conv3d(params["pre_conv"], x, padding=1)
         h = jax.nn.relu(blocks.group_norm(params["pre_gn"], h, 4))
         h = blocks.residual_block(params["pre_rb"], h)
         h = blocks.conv3d(params["down"], h, stride=2, padding=1)  # k4 s2: 8^3 -> 4^3
         h = blocks.residual_block(params["rb"], h)
-        h = blocks.channel_attention(params["attn"], h)
-        return blocks.conv3d(params["proj"], h)
+        return blocks.channel_attention(params["attn"], h)
     else:
         h = blocks.conv3d(params["pre_conv"], x, padding=1)
         h = jax.nn.relu(blocks.group_norm(params["pre_gn"], h, 8))
@@ -135,8 +136,12 @@ def encoder_apply(params: Params, x: jnp.ndarray, cfg: ModelConfig) -> jnp.ndarr
         h = blocks.conv3d(params["down"], h, stride=2, padding=1)  # k3 s2: 8^3 -> 4^3
         h = blocks.residual_block(params["rb1"], h)
         h = blocks.residual_block(params["rb2"], h)
-        h = blocks.channel_attention(params["attn"], h)
-        return blocks.conv3d(params["proj"], h)
+        return blocks.channel_attention(params["attn"], h)
+
+
+def encoder_apply(params: Params, x: jnp.ndarray, cfg: ModelConfig) -> jnp.ndarray:
+    """x: (B, 8, 8, 8, C) -> latents (B, 4, 4, 4, D)."""
+    return blocks.conv3d(params["proj"], encoder_features(params, x, cfg))
 
 
 def decoder_trunk(params: Params, z: jnp.ndarray, cfg: ModelConfig) -> jnp.ndarray:

@@ -154,3 +154,87 @@ def fused_dequantize(
         interpret=interpret,
     )(idx.reshape(n_pad, 1), codebook)
     return out[:n]
+
+
+# ---------------------------------------------------------------------------
+# Fused projection + nearest-code scoring
+# ---------------------------------------------------------------------------
+#
+# The encoder ends with a 1x1 projection z = h @ P + b followed by
+# argmin_k(||e_k||^2 - 2 z.e_k). Both are linear in h, so at inference they
+# compose into ONE score matmul:
+#
+#     idx = argmin(h @ M + c),   M = -2 P E^T   (F, K),
+#                                 c = ||e||^2 - 2 b E^T   (K,)
+#
+# eliminating the projection AND the D-dim latent entirely (measured: the
+# separate proj + quantize stages cost ~4x the FLOPs and ~10x the time of
+# the fused score on v5e). Exact up to fp reassociation.
+
+def fold_proj_into_scores(proj_w, proj_b, codebook):
+    """proj_w (1,1,1,F,D) or (F,D), proj_b (D,), codebook (K,D) ->
+    (M (F,K) f32, c (1,K) f32), computed in f64 for stability."""
+    import numpy as np
+
+    w = np.asarray(proj_w, np.float64).reshape(-1, np.asarray(codebook).shape[1])
+    b = np.asarray(proj_b, np.float64)
+    e = np.asarray(codebook, np.float64)
+    m = -2.0 * (w @ e.T)
+    c = np.sum(e * e, axis=1) - 2.0 * (b @ e.T)
+    return (jnp.asarray(m, jnp.float32), jnp.asarray(c[None, :], jnp.float32))
+
+
+def _score_argmin_kernel(h_ref, m_ref, c_ref, out_ref):
+    """One tile: h [TILE_N, F], M [F, K], c [1, K] -> indices [TILE_N, 1]."""
+    h = h_ref[:].astype(jnp.float32)
+    m = m_ref[:].astype(jnp.float32)
+    scores = jax.lax.dot_general(
+        h, m,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + c_ref[:]
+    idx = jnp.argmin(scores, axis=1)
+    out_ref[:] = idx[:, None].astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_n", "interpret"))
+def fused_score_argmin(
+    h_flat: jnp.ndarray,
+    m: jnp.ndarray,
+    c: jnp.ndarray,
+    *,
+    tile_n: int = DEFAULT_TILE_N,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """h_flat [N, F], M [F, K], c [1, K] -> int32 indices [N]."""
+    if interpret is None:
+        interpret = _auto_interpret()
+    n, f = h_flat.shape
+    k = m.shape[1]
+    tile = min(tile_n, max(128, -(-n // 128) * 128))
+    n_pad = -(-n // tile) * tile
+    if n_pad != n:
+        h_flat = jnp.pad(h_flat, ((0, n_pad - n), (0, 0)))
+    n_tiles = n_pad // tile
+
+    out = pl.pallas_call(
+        _score_argmin_kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((tile, f), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((f, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
+        interpret=interpret,
+    )(h_flat, m, c)
+    return out.reshape(n_pad)[:n]
+
+
+def score_argmin_xla(h_flat: jnp.ndarray, m: jnp.ndarray, c: jnp.ndarray
+                     ) -> jnp.ndarray:
+    """Pure-XLA twin of fused_score_argmin (oracle + non-TPU fallback)."""
+    scores = jnp.dot(h_flat.astype(jnp.float32), m,
+                     preferred_element_type=jnp.float32) + c
+    return jnp.argmin(scores, axis=1)

@@ -85,18 +85,41 @@ class VQCodec:
             fin = params.decoder["final"]
             self._folded_final = fold_final_conv(
                 np.asarray(fin["w"], np.float32), np.asarray(fin["b"], np.float32))
+        # Encode-side fusion: the 1x1 projection composes with the quantizer
+        # distance matmul into one score GEMM (ops/quantize.py,
+        # fold_proj_into_scores) — eliminates the D-dim latent entirely.
+        self._score_mc = None
+        if self.ccfg.fuse_proj_quantize:
+            from vqvdb_tpu.ops.quantize import fold_proj_into_scores
+
+            proj = params.encoder["proj"]
+            self._score_mc = fold_proj_into_scores(
+                np.asarray(proj["w"]), np.asarray(proj["b"]),
+                np.asarray(params.vq.embedding))
 
     # -- device steps (traced once per shape) ----------------------------
     def _encode_step(self, params: VQVAEParams, leaves: jnp.ndarray) -> jnp.ndarray:
         """[B,8,8,8,C] f32 -> [B,4,4,4] uint8."""
         x = leaves.astype(self.ccfg.compute_jnp_dtype)
-        z = encoder_apply(params.encoder, x, self.mcfg)
-        b = z.shape[0]
-        flat = z.reshape(-1, self.mcfg.embedding_dim).astype(jnp.float32)
-        if _use_pallas(self.ccfg):
-            idx = fused_nearest_indices(flat, params.vq.embedding)
+        b = x.shape[0]
+        if self._score_mc is not None:
+            from vqvdb_tpu.models.vqvae import encoder_features
+            from vqvdb_tpu.ops.quantize import fused_score_argmin, score_argmin_xla
+
+            h = encoder_features(params.encoder, x, self.mcfg)
+            flat_h = h.reshape(-1, h.shape[-1])
+            m, c = self._score_mc
+            if _use_pallas(self.ccfg):
+                idx = fused_score_argmin(flat_h, m, c)
+            else:
+                idx = score_argmin_xla(flat_h, m, c)
         else:
-            idx = nearest_indices(flat, params.vq.embedding)
+            z = encoder_apply(params.encoder, x, self.mcfg)
+            flat = z.reshape(-1, self.mcfg.embedding_dim).astype(jnp.float32)
+            if _use_pallas(self.ccfg):
+                idx = fused_nearest_indices(flat, params.vq.embedding)
+            else:
+                idx = nearest_indices(flat, params.vq.embedding)
         return idx.reshape((b,) + self.mcfg.latent_shape).astype(self.mcfg.index_dtype)
 
     def _decode_step(self, params: VQVAEParams, indices: jnp.ndarray) -> jnp.ndarray:
