@@ -68,3 +68,29 @@ def test_codec_encode_unchanged_by_fusion(rng):
     # decoded quality identical in practice
     ra, rb = on.decode_indices(a), off.decode_indices(b)
     np.testing.assert_allclose(ra, rb, atol=5e-3)
+
+
+def test_codec_encode_unchanged_by_packed_down(rng):
+    cfg = ModelConfig(embedding_dim=32, num_embeddings=64)
+    params = init_vqvae_params(jax.random.key(3), cfg)
+    leaves = rng.random((25, 8, 8, 8), dtype=np.float32)
+    on = VQCodec(params, cfg, CodecConfig(batch_size=16, compute_dtype="float32",
+                                          pack_down_conv=True))
+    off = VQCodec(params, cfg, CodecConfig(batch_size=16, compute_dtype="float32",
+                                           pack_down_conv=False))
+    a, b = on.encode_leaves(leaves), off.encode_leaves(leaves)
+    assert (a == b).mean() > 0.999
+
+
+def test_packed_down_vec3(rng):
+    from vqvdb_tpu.models.vqvae import encoder_features_packed_down
+    from vqvdb_tpu.ops.packed import fold_strided_conv
+
+    cfg = ModelConfig(in_channels=3, embedding_dim=64)
+    params = init_vqvae_params(jax.random.key(4), cfg)
+    folded = fold_strided_conv(np.asarray(params.encoder["down"]["w"]),
+                               np.asarray(params.encoder["down"]["b"]))
+    x = jnp.asarray(rng.random((2, 8, 8, 8, 3), dtype=np.float32))
+    ref = np.asarray(encoder_features(params.encoder, x, cfg))
+    got = np.asarray(encoder_features_packed_down(params.encoder, folded, x, cfg))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)

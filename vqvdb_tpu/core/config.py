@@ -83,6 +83,10 @@ class CodecConfig:
     # matmul into one score GEMM (exact; ops/quantize.py) — the separate
     # proj + quantize stages are the slowest part of encode on v5e.
     fuse_proj_quantize: bool = True
+    # Run the strided downsampling conv on the space-to-channel packed grid
+    # (exact; ops/packed.py). Only takes effect together with
+    # fuse_proj_quantize (both rewrite the encode graph).
+    pack_down_conv: bool = True
     donate_buffers: bool = True
 
     @property

@@ -144,6 +144,32 @@ def encoder_apply(params: Params, x: jnp.ndarray, cfg: ModelConfig) -> jnp.ndarr
     return blocks.conv3d(params["proj"], encoder_features(params, x, cfg))
 
 
+def encoder_features_packed_down(params: Params, folded_down: Params,
+                                 x: jnp.ndarray, cfg: ModelConfig) -> jnp.ndarray:
+    """encoder_features with the strided downsampling conv executed on the
+    space-to-channel packed grid (exact identity; ops/packed.py). The
+    strided conv (k4 s2 scalar / k3 s2 vec3) is the slowest encoder stage
+    on v5e; as a k3 SAME conv on (4^3, C*8) it runs at MXU-friendly
+    shapes."""
+    from vqvdb_tpu.ops.packed import space_to_channel
+
+    if cfg.variant == "scalar":
+        h = blocks.conv3d(params["pre_conv"], x, padding=1)
+        h = jax.nn.relu(blocks.group_norm(params["pre_gn"], h, 4))
+        h = blocks.residual_block(params["pre_rb"], h)
+        h = blocks.conv3d(folded_down, space_to_channel(h, 2), padding=1)
+        h = blocks.residual_block(params["rb"], h)
+        return blocks.channel_attention(params["attn"], h)
+    else:
+        h = blocks.conv3d(params["pre_conv"], x, padding=1)
+        h = jax.nn.relu(blocks.group_norm(params["pre_gn"], h, 8))
+        h = blocks.residual_block(params["pre_rb"], h)
+        h = blocks.conv3d(folded_down, space_to_channel(h, 2), padding=1)
+        h = blocks.residual_block(params["rb1"], h)
+        h = blocks.residual_block(params["rb2"], h)
+        return blocks.channel_attention(params["attn"], h)
+
+
 def decoder_trunk(params: Params, z: jnp.ndarray, cfg: ModelConfig) -> jnp.ndarray:
     """Decoder up to (and including) up_conv: (B,4,4,4,D) -> (B,4,4,4,256)."""
     if cfg.variant == "scalar":

@@ -96,6 +96,15 @@ class VQCodec:
             self._score_mc = fold_proj_into_scores(
                 np.asarray(proj["w"]), np.asarray(proj["b"]),
                 np.asarray(params.vq.embedding))
+        # Strided down-conv on the space-to-channel packed grid (exact;
+        # ops/packed.py) — the slowest encoder stage otherwise.
+        self._folded_down = None
+        if self.ccfg.pack_down_conv:
+            from vqvdb_tpu.ops.packed import fold_strided_conv
+
+            down = params.encoder["down"]
+            self._folded_down = fold_strided_conv(
+                np.asarray(down["w"]), np.asarray(down["b"]))
 
     # -- device steps (traced once per shape) ----------------------------
     def _encode_step(self, params: VQVAEParams, leaves: jnp.ndarray) -> jnp.ndarray:
@@ -103,10 +112,17 @@ class VQCodec:
         x = leaves.astype(self.ccfg.compute_jnp_dtype)
         b = x.shape[0]
         if self._score_mc is not None:
-            from vqvdb_tpu.models.vqvae import encoder_features
+            from vqvdb_tpu.models.vqvae import (
+                encoder_features,
+                encoder_features_packed_down,
+            )
             from vqvdb_tpu.ops.quantize import fused_score_argmin, score_argmin_xla
 
-            h = encoder_features(params.encoder, x, self.mcfg)
+            if self._folded_down is not None:
+                h = encoder_features_packed_down(
+                    params.encoder, self._folded_down, x, self.mcfg)
+            else:
+                h = encoder_features(params.encoder, x, self.mcfg)
             flat_h = h.reshape(-1, h.shape[-1])
             m, c = self._score_mc
             if _use_pallas(self.ccfg):
