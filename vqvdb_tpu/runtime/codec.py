@@ -56,6 +56,11 @@ class VQCodec:
     Equivalent surface to the reference's `VQVAECodec` orchestrator +
     backend stack (compress/decompress/encodeBatch/decodeBatch,
     ref: src/orchestrator/VQVAECodec.hpp:40-49).
+
+    `params` is treated as immutable after construction: the exact-rewrite
+    fast paths (folded final conv, fused projection scores, packed down
+    conv) precompute constants from it at init. Build a new codec for new
+    weights.
     """
 
     def __init__(
