@@ -84,10 +84,10 @@ def main() -> None:
 
     import jax.numpy as jnp
 
-    # Optimized path: bf16 compute, XLA one-hot dequantize, b1024 (measured
-    # plateau of the batch sweep on v5e — see docs/ARCHITECTURE.md).
-    opt_batch = 1024 if on_tpu else 256
-    steps = 1024 if on_tpu else 6
+    # Optimized path: bf16 compute, XLA one-hot dequantize, decoder tail
+    # collapsed to one GEMM (ops/tail.py), b4096 (measured best on v5e).
+    opt_batch = 4096 if on_tpu else 256
+    steps = 512 if on_tpu else 6
     codec = VQCodec(params, mcfg, CodecConfig(batch_size=opt_batch,
                                               compute_dtype="bfloat16"))
     idx = jnp.asarray(rng.integers(0, mcfg.num_embeddings,
@@ -99,6 +99,7 @@ def main() -> None:
     base = VQCodec(params, mcfg, CodecConfig(batch_size=64,
                                              compute_dtype="float32",
                                              use_pallas=False,
+                                             fuse_decoder_tail=False,
                                              fuse_final_conv=False))
     idx64 = jnp.asarray(idx[:64])
     baseline = _fenced_rate(base._decode_step, params, idx64,

@@ -54,12 +54,21 @@ def test_decoder_tails_agree(rng, cfg):
 
 
 def test_codec_decode_unchanged_by_folding(rng):
+    """All three decoder tails (plain convs / folded final conv / collapsed
+    tail GEMM) produce the same reconstructions."""
     cfg = ModelConfig(embedding_dim=32, num_embeddings=64)
     params = init_vqvae_params(jax.random.key(1), cfg)
     idx = rng.integers(0, 64, (10, 4, 4, 4)).astype(np.uint8)
-    on = VQCodec(params, cfg, CodecConfig(batch_size=16, compute_dtype="float32",
-                                          fuse_final_conv=True))
-    off = VQCodec(params, cfg, CodecConfig(batch_size=16, compute_dtype="float32",
-                                           fuse_final_conv=False))
-    np.testing.assert_allclose(on.decode_indices(idx), off.decode_indices(idx),
+    plain = VQCodec(params, cfg, CodecConfig(
+        batch_size=16, compute_dtype="float32",
+        fuse_decoder_tail=False, fuse_final_conv=False))
+    folded = VQCodec(params, cfg, CodecConfig(
+        batch_size=16, compute_dtype="float32",
+        fuse_decoder_tail=False, fuse_final_conv=True))
+    tail = VQCodec(params, cfg, CodecConfig(
+        batch_size=16, compute_dtype="float32", fuse_decoder_tail=True))
+    ref = plain.decode_indices(idx)
+    np.testing.assert_allclose(folded.decode_indices(idx), ref,
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(tail.decode_indices(idx), ref,
                                rtol=1e-4, atol=1e-5)

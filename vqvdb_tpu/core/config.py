@@ -75,9 +75,15 @@ class CodecConfig:
     # available (and bit-exact-tested) for configurations where they win.
     use_pallas: bool = False  # encode-side Pallas nearest-code kernel
     use_pallas_dequant: bool = False  # decode-side Pallas dequantize
+    # Collapse the decoder tail (up_conv -> shuffle -> final conv, all
+    # linear) into one dense GEMM (ops/tail.py) — 15x fewer FLOPs than the
+    # separate convs, exact boundaries by construction. Supersedes
+    # fuse_final_conv when enabled.
+    fuse_decoder_tail: bool = True
     # Fold the decoder's final conv before the pixel shuffle (exact subpixel
     # identity, ops/subpixel.py) — the post-shuffle k3 conv on 8^3 runs at
-    # ~3 TFLOP/s on v5e and costs ~25% of decode otherwise.
+    # ~3 TFLOP/s on v5e and costs ~25% of decode otherwise. Used when
+    # fuse_decoder_tail is off.
     fuse_final_conv: bool = True
     # Compose the encoder's 1x1 projection with the quantizer distance
     # matmul into one score GEMM (exact; ops/quantize.py) — the separate

@@ -170,20 +170,28 @@ def encoder_features_packed_down(params: Params, folded_down: Params,
         return blocks.channel_attention(params["attn"], h)
 
 
-def decoder_trunk(params: Params, z: jnp.ndarray, cfg: ModelConfig) -> jnp.ndarray:
-    """Decoder up to (and including) up_conv: (B,4,4,4,D) -> (B,4,4,4,256)."""
+def decoder_pre_tail(params: Params, z: jnp.ndarray, cfg: ModelConfig) -> jnp.ndarray:
+    """Decoder up to (excluding) up_conv: (B,4,4,4,D) -> (B,4,4,4,64|128).
+
+    Everything after this point (up_conv -> shuffle -> final conv) is linear
+    and can run as one dense GEMM (ops/tail.py)."""
     if cfg.variant == "scalar":
         h = blocks.conv3d(params["stem_conv"], z, padding=1)
         h = jax.nn.relu(blocks.group_norm(params["stem_gn"], h, 8))
         h = blocks.residual_block(params["rb"], h)
-        h = blocks.channel_attention(params["attn"], h)
+        return blocks.channel_attention(params["attn"], h)
     else:
         h = blocks.conv3d(params["stem_conv"], z, padding=1)
         h = jax.nn.relu(blocks.group_norm(params["stem_gn"], h, 8))
         h = blocks.residual_block(params["rb1"], h)
         h = blocks.residual_block(params["rb2"], h)
-        h = blocks.channel_attention(params["attn"], h)
-    return blocks.conv3d(params["up_conv"], h, padding=1)
+        return blocks.channel_attention(params["attn"], h)
+
+
+def decoder_trunk(params: Params, z: jnp.ndarray, cfg: ModelConfig) -> jnp.ndarray:
+    """Decoder up to (and including) up_conv: (B,4,4,4,D) -> (B,4,4,4,256)."""
+    return blocks.conv3d(params["up_conv"], decoder_pre_tail(params, z, cfg),
+                         padding=1)
 
 
 def _head_activation(h: jnp.ndarray, cfg: ModelConfig) -> jnp.ndarray:

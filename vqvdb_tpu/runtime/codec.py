@@ -84,7 +84,12 @@ class VQCodec:
         # Inference-time subpixel folding of the decoder's final conv
         # (exact identity; ~25% of decode time on v5e otherwise).
         self._folded_final = None
-        if self.ccfg.fuse_final_conv:
+        self._folded_tail = None
+        if self.ccfg.fuse_decoder_tail:
+            from vqvdb_tpu.ops.tail import fold_decoder_tail
+
+            self._folded_tail = fold_decoder_tail(params.decoder, self.mcfg)
+        elif self.ccfg.fuse_final_conv:
             from vqvdb_tpu.ops.subpixel import fold_final_conv
 
             fin = params.decoder["final"]
@@ -153,6 +158,13 @@ class VQCodec:
         else:
             z = dequantize(flat_idx, codebook)
         z = z.reshape((b,) + self.mcfg.latent_shape + (self.mcfg.embedding_dim,))
+        if self._folded_tail is not None:
+            from vqvdb_tpu.models.vqvae import decoder_pre_tail
+            from vqvdb_tpu.ops.tail import apply_decoder_tail
+
+            h = decoder_pre_tail(params.decoder, z, self.mcfg)
+            return apply_decoder_tail(self._folded_tail, h, self.mcfg
+                                      ).astype(jnp.float32)
         if self._folded_final is not None:
             from vqvdb_tpu.models.vqvae import decoder_tail_folded, decoder_trunk
 
