@@ -20,12 +20,40 @@ leaves/s per chip.
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+import functools
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
 
 from vqvdb_tpu.core.config import ModelConfig
+
+
+@functools.partial(jax.jit, static_argnames=("c_in",))
+def _build_tail_operator(up_w, up_b, fin_w, fin_b, *, c_in: int):
+    """Materialize the tail operator via VJP: feeding the d_out output
+    basis through the transposed map costs d_out (512) backward passes vs
+    d_in (4096) forwards — 8x cheaper, identical result. Module-level jit
+    so the compilation is cached across codec instances."""
+    from vqvdb_tpu.models import blocks
+
+    up = {"w": up_w, "b": up_b}
+    fin = {"w": fin_w, "b": fin_b}
+
+    def tail_flat(h_flat):
+        h = h_flat.reshape(1, 4, 4, 4, c_in)
+        y = blocks.conv3d(up, h, padding=1)
+        y = blocks.pixel_shuffle_3d(y, 2)
+        return blocks.conv3d(fin, y, padding=1).reshape(-1)
+
+    d_in = 64 * c_in
+    zero = jnp.zeros(d_in, jnp.float32)
+    b = tail_flat(zero)
+    d_out = b.shape[0]
+    _, vjp = jax.vjp(tail_flat, zero)
+    # rows of J (d_out, d_in) -> K = J^T (d_in, d_out)
+    jt = jax.vmap(lambda u: vjp(u)[0])(jnp.eye(d_out, dtype=jnp.float32))
+    return jt.T, b
 
 
 def fold_decoder_tail(decoder_params: Dict, cfg: ModelConfig
@@ -35,25 +63,12 @@ def fold_decoder_tail(decoder_params: Dict, cfg: ModelConfig
     Din  = 4^3 * up_conv_in_channels (64 scalar / 128 vec3)
     Dout = 8^3 * out_channels (pre-activation logits, row-major NDHWC order)
     """
-    from vqvdb_tpu.models import blocks
-
-    c_in = decoder_params["up_conv"]["w"].shape[3]
-    d_in = 64 * c_in
-
-    def tail(h):
-        y = blocks.conv3d(decoder_params["up_conv"], h, padding=1)
-        y = blocks.pixel_shuffle_3d(y, 2)
-        return blocks.conv3d(decoder_params["final"], y, padding=1)
-
-    @jax.jit
-    def build():
-        basis = jnp.eye(d_in, dtype=jnp.float32).reshape(d_in, 4, 4, 4, c_in)
-        zero = jnp.zeros((1, 4, 4, 4, c_in), jnp.float32)
-        b = tail(zero).reshape(-1)
-        k = tail(basis).reshape(d_in, -1) - b[None, :]
-        return k, b
-
-    k, b = build()
+    up, fin = decoder_params["up_conv"], decoder_params["final"]
+    c_in = int(up["w"].shape[3])
+    k, b = _build_tail_operator(
+        jnp.asarray(up["w"], jnp.float32), jnp.asarray(up["b"], jnp.float32),
+        jnp.asarray(fin["w"], jnp.float32), jnp.asarray(fin["b"], jnp.float32),
+        c_in=c_in)
     return {"k": k, "b": b}
 
 

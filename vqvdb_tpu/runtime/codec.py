@@ -88,6 +88,8 @@ class VQCodec:
         if self.ccfg.fuse_decoder_tail:
             from vqvdb_tpu.ops.tail import fold_decoder_tail
 
+            # Must happen eagerly (outside any trace): folding lazily inside
+            # a traced _decode_step caches tracers and leaks under shard_map.
             self._folded_tail = fold_decoder_tail(params.decoder, self.mcfg)
         elif self.ccfg.fuse_final_conv:
             from vqvdb_tpu.ops.subpixel import fold_final_conv
