@@ -1,26 +1,20 @@
-"""Space-to-channel packed execution of the encoder pre-stage.
+"""Space-to-channel packing: run the strided downsampling conv at full lanes.
 
-The scalar encoder spends most of its time in the 8^3-resolution stage
-(conv 1->16, GroupNorm, ReLU, ResidualBlock(16)): 16-channel convs use 16 of
-the MXU's 128 lanes. Packing 2x2x2 voxel neighborhoods into channels runs
-the same math on a 4^3 x (C*8) tensor with full lanes:
+The encoder's strided conv (k4 s2 p1 scalar / k3 s2 p1 vec3) is its slowest
+stage on v5e (~11 TFLOP/s: 8^3 windows, 16 input channels of 128 lanes).
+Packing 2x2x2 voxel neighborhoods into channels maps it EXACTLY to a k3
+SAME conv on the (4^3, C*8) packed grid with naturally-unpacked output
+(fold_strided_conv) — an inference-time weight rewrite, bit-exact up to fp
+reassociation (tests/test_fused_encode.py). Measured: +42% encode.
 
-  * k3 SAME convs commute with the packing exactly (the subpixel identity of
-    ops/subpixel.py, applied on both sides): fold_final_conv already
-    computes W' of shape (3,3,3, Cin*8, Cout*8).
-  * The strided downsampling conv (k4 s2 p1 scalar / k3 s2 p1 vec3) maps to
-    a k3 SAME conv on the packed grid with naturally-unpacked output
-    (fold_strided_conv below).
-  * GroupNorm / ReLU / residual adds are per-original-channel or
-    elementwise, so they run on the packed tensor with the parity axis
-    treated as extra spatial (packed_group_norm).
+Note: packing the SAME-resolution 8^3 convs (e.g. the 16-channel residual
+block) is a measured LOSS — it inflates dense FLOPs 8x for an 8x lane gain,
+and XLA's conv already exceeds 1/8 of peak there. Only the strided conv
+wins, because its output lives on the coarse grid anyway.
 
-All transforms are inference-time weight rewrites — bit-exact up to fp
-reassociation (tests/test_packed_encoder.py).
-
-Channel convention everywhere: packed index = c_orig * 8 + parity, where
-parity = a*4 + b*2 + c for voxel offset (a,b,c) — identical to the channel
-split of blocks.pixel_shuffle_3d, so pack/unpack are mutual inverses.
+Channel convention: packed index = c_orig * 8 + parity, where parity =
+a*4 + b*2 + c for voxel offset (a,b,c) — identical to the channel split of
+blocks.pixel_shuffle_3d, so pack/unpack are mutual inverses.
 """
 
 from __future__ import annotations
@@ -70,24 +64,3 @@ def fold_strided_conv(w: np.ndarray, b: np.ndarray, r: int = 2
                     w[d[0], d[1], d[2]]
     return {"w": jnp.asarray(out, jnp.float32),
             "b": jnp.asarray(np.asarray(b, np.float32))}
-
-
-def packed_group_norm(params: Dict, x: jnp.ndarray, num_groups: int,
-                      orig_channels: int, eps: float = 1e-5) -> jnp.ndarray:
-    """GroupNorm(num_groups, orig_channels) evaluated on a packed tensor
-    (B, D, H, W, orig_channels * 8): the parity axis joins the spatial
-    reduction, reproducing the fine-grid statistics exactly."""
-    b, d, h, w, cp = x.shape
-    r3 = cp // orig_channels
-    orig_dtype = x.dtype
-    xf = x.astype(jnp.float32).reshape(
-        b, d, h, w, num_groups, orig_channels // num_groups, r3)
-    mean = jnp.mean(xf, axis=(1, 2, 3, 5, 6), keepdims=True)
-    var = jnp.mean(jnp.square(xf - mean), axis=(1, 2, 3, 5, 6), keepdims=True)
-    xf = (xf - mean) / jnp.sqrt(var + eps)
-    scale = params["scale"].astype(jnp.float32).reshape(
-        num_groups, orig_channels // num_groups, 1)
-    bias = params["bias"].astype(jnp.float32).reshape(
-        num_groups, orig_channels // num_groups, 1)
-    xf = xf * scale + bias
-    return xf.reshape(b, d, h, w, cp).astype(orig_dtype)
