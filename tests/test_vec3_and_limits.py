@@ -63,3 +63,29 @@ def test_large_codebook_array_level_still_works():
     """Array-level encode with K>256 uses uint16 indices (future v4)."""
     cfg = ModelConfig(in_channels=1, embedding_dim=16, num_embeddings=512)
     assert cfg.index_dtype == np.uint16 or str(cfg.index_dtype) == "uint16"
+
+
+def test_notebook_vec3_4096_codes_roundtrip(tmp_path, rng):
+    """The reference's vec3 notebook config (4096 codes, D=64 — which its
+    C++ runtime could not serve at all) round-trips our v4 container."""
+    cfg = ModelConfig(in_channels=3, embedding_dim=64, num_embeddings=4096)
+    assert str(np.dtype(cfg.index_dtype)) == "uint16"
+    params = init_vqvae_params(jax.random.key(5), cfg)
+    codec = VQCodec(params, cfg, CodecConfig(batch_size=8, compute_dtype="float32"))
+    assert codec.check_latent_shape() == (4, 4, 4)
+
+    grid = LeafGrid("vel", (np.arange(30).reshape(10, 3) * 8).astype(np.int32),
+                    rng.random((10, 8, 8, 8, 3), np.float32) * 2 - 1)
+    path = tmp_path / "vel4096.vqvdb"
+    stats = codec.compress(grid, path)
+    assert stats["leaves"] == 10
+
+    from vqvdb_tpu.format.vqvdb import VqvdbReader
+    with VqvdbReader(path) as r:
+        assert r.version == 4 and r.num_embeddings == 4096
+
+    grids, _ = codec.decompress(path)
+    np.testing.assert_array_equal(grids[0].origins, grid.origins)
+    # indices actually use the >255 range given a 4096-entry codebook
+    idx = codec.encode_leaves(grid.leaves)
+    assert idx.dtype == np.uint16
