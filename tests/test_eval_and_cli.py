@@ -102,3 +102,19 @@ def test_cli_errors(tmp_path, capsys):
     rc = cli_main(["train", "--data-dir", str(tmp_path / "empty"),
                    "--model-path", str(tmp_path / "m.vqmodel")])
     assert rc == 2
+
+
+def test_cli_train_device_resident(tmp_path, capsys):
+    data_dir = tmp_path / "data"
+    cli_main(["datagen", str(data_dir), "--volumes", "2", "--size", "32"])
+    capsys.readouterr()
+    model_path = tmp_path / "dr.vqmodel"
+    rc = cli_main([
+        "train", "--data-dir", str(data_dir), "--model-path", str(model_path),
+        "--epochs", "2", "--batch-size", "16", "--embedding-dim", "32",
+        "--num-embeddings", "64", "--compute-dtype", "float32", "--lr", "1e-3",
+        "--device-resident",
+    ])
+    assert rc == 0 and model_path.exists()
+    hist = json.loads(model_path.with_suffix(".history.json").read_text())
+    assert len(hist["loss"]) == 2
