@@ -1,0 +1,107 @@
+"""Multi-host smoke test: 2 spawned processes, gloo CPU collectives, one
+data-parallel training span through parallel/distributed.py.
+
+The reference has no distributed execution at all (SURVEY §2.3). This test
+proves the multi-host entry point end-to-end on one machine: two OS
+processes each own one CPU device, `init_multi_host` stitches them into a
+single 2-device JAX runtime, each host feeds its `local_batch_slice` of the
+global batch, and the psum'd DP train step must leave BOTH processes with
+identical final state — equal (within float tolerance) to a single-process
+run on the same global batch.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+
+RUNNER = """
+import json, sys
+pid, nproc, port, out = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4]
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+from vqvdb_tpu.parallel.distributed import (
+    init_multi_host, local_batch_slice, global_batch_from_local)
+
+if nproc > 1:
+    info = init_multi_host(f"127.0.0.1:{port}", nproc, pid,
+                           cpu_collectives="gloo")
+else:
+    info = init_multi_host()
+
+from vqvdb_tpu.core.config import ModelConfig
+from vqvdb_tpu.parallel.mesh import make_mesh, make_sharded_train_step
+from vqvdb_tpu.train.train import TrainConfig, make_optimizer, make_train_state
+
+MCFG = ModelConfig(embedding_dim=16, num_embeddings=32)
+TCFG = TrainConfig(batch_size=16, lr=1e-3, compute_dtype="float32")
+rng = np.random.default_rng(7)
+batch = rng.random((16, 8, 8, 8, 1)).astype(np.float32)
+
+opt = make_optimizer(TCFG, 4)
+state = make_train_state(jax.random.key(0), MCFG, TCFG, 4)
+mesh = make_mesh()
+step = make_sharded_train_step(mesh, opt, MCFG, TCFG)
+metrics = None
+for _ in range(2):
+    rows = batch[local_batch_slice(batch.shape[0])]
+    state, metrics, _ = step(state, global_batch_from_local(mesh, rows))
+
+fp = {f"leaf{i}": float(np.sum(np.asarray(x)))
+      for i, x in enumerate(jax.tree.leaves(state.params))}
+fp["loss"] = float(metrics["loss"])
+fp.update(info)
+open(out, "w").write(json.dumps(fp))
+"""
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def _spawn(tmp_path, tag, pid, nproc, port):
+    out = tmp_path / f"{tag}.json"
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    env["PYTHONPATH"] = str(REPO) + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.Popen(
+        [sys.executable, "-c", RUNNER, str(pid), str(nproc), str(port), str(out)],
+        env=env, cwd=REPO,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+    return proc, out
+
+
+@pytest.mark.slow
+def test_two_process_dp_train_matches_single(tmp_path):
+    port = _free_port()
+    p0, out0 = _spawn(tmp_path, "p0", 0, 2, port)
+    p1, out1 = _spawn(tmp_path, "p1", 1, 2, port)
+    ref, outr = _spawn(tmp_path, "ref", 0, 1, 0)
+    for proc, name in ((p0, "p0"), (p1, "p1"), (ref, "ref")):
+        log, _ = proc.communicate(timeout=600)
+        assert proc.returncode == 0, f"{name} failed:\n{log.decode()[-4000:]}"
+
+    r0 = json.loads(out0.read_text())
+    r1 = json.loads(out1.read_text())
+    rr = json.loads(outr.read_text())
+
+    assert r0["process_count"] == 2 and r0["global_devices"] == 2
+    assert r1["process_index"] == 1
+
+    leaves = [k for k in r0 if k.startswith("leaf")] + ["loss"]
+    for k in leaves:
+        # Both halves of the distributed run agree bit-for-bit (replicated
+        # state after psum), and match the single-process global-batch run.
+        assert r0[k] == r1[k], f"{k}: cross-process state diverged"
+        np.testing.assert_allclose(r0[k], rr[k], rtol=2e-4, atol=1e-5,
+                                   err_msg=f"{k}: multi-host != single-host")

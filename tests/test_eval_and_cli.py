@@ -79,6 +79,7 @@ def test_cli_datagen_train_encode_decode_eval(tmp_path, capsys):
     rc = cli_main(["info", str(vq_path)])
     assert rc == 0
     info = json.loads(capsys.readouterr().out)
+    assert info["version"] == 3
     assert info["num_grids"] == 1 and info["num_embeddings"] == 64
 
     out_dir = tmp_path / "decoded"
@@ -96,6 +97,27 @@ def test_cli_datagen_train_encode_decode_eval(tmp_path, capsys):
     assert rc == 0
     ev = json.loads(capsys.readouterr().out)
     assert 0 < ev["num_blocks"] <= 64 and "psnr_p50" in ev and "perplexity" in ev
+
+
+def test_cli_info_reports_v4(tmp_path, capsys):
+    """`info` must report the actual header version, not hardcode v3."""
+    import numpy as np
+
+    from vqvdb_tpu.format.vqvdb import GridMetadata, VqvdbWriter
+
+    path = tmp_path / "big.vqvdb"
+    idx = np.arange(2 * 64, dtype=np.uint16).reshape(2, 4, 4, 4) % 4096
+    with VqvdbWriter(path, version=4) as w:
+        w.start_grid(GridMetadata("v", num_embeddings=4096,
+                                  latent_shape=(4, 4, 4), total_blocks=2))
+        w.write_batch(idx, np.zeros((2, 3), np.int32))
+        w.end_grid()
+    rc = cli_main(["info", str(path)])
+    assert rc == 0
+    info = json.loads(capsys.readouterr().out)
+    assert info["version"] == 4
+    assert info["num_embeddings"] == 4096
+    assert info["grids"][0]["compressed_leaf_bytes"] == 12 + 64 * 2
 
 
 def test_cli_errors(tmp_path, capsys):

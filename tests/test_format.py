@@ -155,4 +155,29 @@ def test_block_count_mismatch_detected(tmp_path, rng):
     )
     with pytest.raises(ValueError, match="declared 5"):
         w.end_grid()
-    w.close()
+    # close() re-runs the consistency check for a still-open grid, so a
+    # caller that skips end_grid() entirely still fails at write time
+    # instead of producing a file that reads back as truncated.
+    with pytest.raises(ValueError, match="declared 5"):
+        w.close()
+
+
+def test_close_without_end_grid_catches_mismatch(tmp_path):
+    path = tmp_path / "bc2.vqvdb"
+    w = VqvdbWriter(path)
+    w.start_grid(
+        GridMetadata("a", num_embeddings=256, latent_shape=(4, 4, 4), total_blocks=5)
+    )
+    w.write_batch(np.zeros((3, 4, 4, 4), np.uint8), np.zeros((3, 3), np.int32))
+    with pytest.raises(ValueError, match="declared 5"):
+        w.close()
+
+
+def test_exit_after_exception_does_not_mask(tmp_path):
+    """An exception inside the `with` body propagates, not the close check."""
+    path = tmp_path / "bc3.vqvdb"
+    with pytest.raises(KeyError):
+        with VqvdbWriter(path) as w:
+            w.start_grid(GridMetadata("a", num_embeddings=256,
+                                      latent_shape=(4, 4, 4), total_blocks=5))
+            raise KeyError("boom")

@@ -25,10 +25,11 @@ def test_trained_model_quality():
     codec = api.make_codec(MODEL, batch_size=256, compute_dtype="float32")
     leaves = smoke_grid(64, seed=9999).leaves  # unseen volume
     rep = evaluate_codec(codec, leaves)
-    # Current artifact scores ~44 dB here; 38 leaves retrain headroom while
-    # still catching real regressions.
-    assert rep["psnr_mean"] > 38.0, f"PSNR regressed: {rep['psnr_mean']:.2f} dB"
-    assert rep["mse"] < 5e-4
+    # Current artifact scores 43.4 dB here; a 42 dB floor leaves ~1.4 dB
+    # retrain headroom while catching kernel/numerics regressions that the
+    # old 38 dB bar would have let through.
+    assert rep["psnr_mean"] > 42.0, f"PSNR regressed: {rep['psnr_mean']:.2f} dB"
+    assert rep["mse"] < 2e-4
     cb = codebook_report(rep["indices"], codec.mcfg.num_embeddings)
     assert cb["active_codes"] > 100  # healthy codebook utilization
 

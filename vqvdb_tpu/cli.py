@@ -59,7 +59,10 @@ def _cmd_train(args) -> int:
         from vqvdb_tpu.train.fast import train_on_device
 
         leaves = ds.gather(np.arange(len(ds)))
-        state, trace = train_on_device(leaves, mcfg, tcfg)
+        ckpt_dir = args.checkpoint_dir or str(Path(args.model_path).parent / "ckpts")
+        state, trace = train_on_device(leaves, mcfg, tcfg,
+                                       checkpoint_dir=ckpt_dir,
+                                       resume=not args.no_resume)
         history = {"loss": trace[:, 0].tolist(), "recon": trace[:, 1].tolist(),
                    "vq": trace[:, 2].tolist(), "perplexity": trace[:, 3].tolist()}
     else:
@@ -147,7 +150,7 @@ def _cmd_info(args) -> int:
 
     with VqvdbReader(args.input) as r:
         out = {
-            "version": 3,
+            "version": r.version,
             "num_grids": r.num_grids,
             "num_embeddings": r.num_embeddings,
             "latent_dim_count": r.latent_dim_count,
@@ -256,14 +259,23 @@ def _cmd_export_checkpoint(args) -> int:
     )
     template = make_train_state(jax.random.key(0), mcfg, TrainConfig(), 1)
     manager = CheckpointManager(args.checkpoint_dir)
-    step = args.step if args.step is not None else manager.latest_step()
-    if step is None:
-        print(f"error: no checkpoints in {args.checkpoint_dir}", file=sys.stderr)
-        return 2
-    state = manager.restore(step, template)
+    if args.best:
+        restored = manager.restore_best(template)
+        if restored is None:
+            print(f"error: no best/ checkpoint in {args.checkpoint_dir}",
+                  file=sys.stderr)
+            return 2
+        step, state = restored
+    else:
+        step = args.step if args.step is not None else manager.latest_step()
+        if step is None:
+            print(f"error: no checkpoints in {args.checkpoint_dir}", file=sys.stderr)
+            return 2
+        state = manager.restore(step, template)
     Path(args.output).parent.mkdir(parents=True, exist_ok=True)
     save_model(args.output, state.params, mcfg)
-    print(json.dumps({"checkpoint_step": int(step), "model": str(args.output)}))
+    print(json.dumps({"checkpoint_step": int(step), "best": bool(args.best),
+                      "model": str(args.output)}))
     return 0
 
 
@@ -381,6 +393,8 @@ def main(argv=None) -> int:
     px.add_argument("output")
     px.add_argument("--step", type=int, default=None,
                     help="checkpoint step (default: latest)")
+    px.add_argument("--best", action="store_true",
+                    help="export the durable best-validation checkpoint")
     px.add_argument("--in-channels", type=int, default=1, choices=[1, 3])
     px.add_argument("--embedding-dim", type=int, default=128)
     px.add_argument("--num-embeddings", type=int, default=256)

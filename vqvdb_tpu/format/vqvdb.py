@@ -134,6 +134,7 @@ class VqvdbWriter:
         self._num_indices = 0
         self._blocks_written_in_grid = 0
         self._declared_blocks = 0
+        self._grid_open = False
         # Placeholder header: real values are seeked-in on close (ref:
         # writer ctor writes default-constructed header, finalizeHeader()
         # rewrites it with the true grid count).
@@ -143,7 +144,11 @@ class VqvdbWriter:
     def __enter__(self) -> "VqvdbWriter":
         return self
 
-    def __exit__(self, *exc) -> None:
+    def __exit__(self, exc_type, *exc) -> None:
+        if exc_type is not None:
+            # Don't let the close-time consistency check mask the original
+            # in-flight exception; just release the file handle.
+            self._grid_open = False
         self.close()
 
     # -- API -------------------------------------------------------------
@@ -170,6 +175,7 @@ class VqvdbWriter:
         self._num_indices = metadata.num_indices
         self._declared_blocks = int(metadata.total_blocks)
         self._blocks_written_in_grid = 0
+        self._grid_open = True
 
         name_bytes = metadata.name.encode("utf-8")
         f.write(struct.pack("<I", len(name_bytes)))
@@ -220,10 +226,16 @@ class VqvdbWriter:
                 f"grid declared {self._declared_blocks} blocks but "
                 f"{self._blocks_written_in_grid} were written"
             )
+        self._grid_open = False
 
     def close(self) -> None:
         if self._f is None:
             return
+        # end_grid() is optional for callers, but its consistency check is
+        # not: a declared-vs-written mismatch caught here fails at write
+        # time instead of surfacing later as a reader truncation error.
+        if self._grid_open:
+            self.end_grid()
         f = self._f
         if self._num_grids > 0:
             f.seek(0)
@@ -341,8 +353,6 @@ class VqvdbReader:
         want = min(int(max_batch), meta.total_blocks - self._blocks_read)
         raw = self._f.read(want * meta.chunk_size)
         got = len(raw) // meta.chunk_size
-        if got < want and len(raw) != got * meta.chunk_size:
-            raise FormatError("File truncated: Incomplete read during refill.")
         if got < want:
             raise FormatError("File truncated: Incomplete read during refill.")
         from vqvdb_tpu.runtime import native_io

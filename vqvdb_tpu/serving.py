@@ -40,12 +40,19 @@ from vqvdb_tpu.vdb.grid import LeafGrid
 class CodecService:
     """Wraps a warm codec with counters and a device lock."""
 
-    def __init__(self, codec: VQCodec) -> None:
+    def __init__(self, codec: VQCodec, *,
+                 max_body_bytes: int = 1 << 30) -> None:
         self.codec = codec
-        self.lock = threading.Lock()
+        self.lock = threading.Lock()          # serializes device dispatch
+        self.counters_lock = threading.Lock() # guards counter read-modify-write
         self.counters = {"encode": 0, "decode": 0, "errors": 0}
+        self.max_body_bytes = max_body_bytes
         self.started = time.time()
         codec.check_latent_shape()  # compile + self-check up front
+
+    def bump(self, key: str) -> None:
+        with self.counters_lock:
+            self.counters[key] += 1
 
     # -- operations -------------------------------------------------------
     def encode_npy(self, raw: bytes, name: str) -> bytes:
@@ -62,7 +69,7 @@ class CodecService:
         with tempfile.NamedTemporaryFile(suffix=".vqvdb") as f:
             with self.lock:
                 self.codec.compress(grid, f.name)
-            self.counters["encode"] += 1
+            self.bump("encode")
             return Path(f.name).read_bytes()
 
     def decode_vqvdb(self, raw: bytes) -> bytes:
@@ -76,7 +83,7 @@ class CodecService:
             arrays[f"{g.name}_leaves"] = g.leaves
             arrays[f"{g.name}_origins"] = g.origins
         np.savez(out, **arrays)
-        self.counters["decode"] += 1
+        self.bump("decode")
         return out.getvalue()
 
     def info(self) -> dict:
@@ -92,9 +99,11 @@ class CodecService:
         }
 
     def stats(self) -> dict:
+        with self.counters_lock:
+            counters = dict(self.counters)
         return {
             "uptime_s": time.time() - self.started,
-            "counters": dict(self.counters),
+            "counters": counters,
             "profile": self.codec.profiler.report(),
         }
 
@@ -128,6 +137,11 @@ def make_server(service: CodecService, host: str = "127.0.0.1",
         def do_POST(self):
             parsed = urlparse(self.path)
             length = int(self.headers.get("Content-Length", 0))
+            if length > service.max_body_bytes:
+                service.bump("errors")
+                self._json(413, {"error": f"body of {length} B exceeds limit "
+                                          f"of {service.max_body_bytes} B"})
+                return
             raw = self.rfile.read(length)
             try:
                 if parsed.path == "/encode":
@@ -140,7 +154,7 @@ def make_server(service: CodecService, host: str = "127.0.0.1",
                 else:
                     self._json(404, {"error": f"unknown path {parsed.path}"})
             except Exception as e:  # surface as 400 with message
-                service.counters["errors"] += 1
+                service.bump("errors")
                 self._json(400, {"error": f"{type(e).__name__}: {e}"})
 
     return ThreadingHTTPServer((host, port), Handler)

@@ -1,4 +1,4 @@
-"""Orbax checkpointing with real resume.
+"""Orbax checkpointing with real resume and a durable best-val slot.
 
 The reference saved a full-state checkpoint dict on best-val (model /
 optimizer / scheduler / scaler / loss histories; ref: python/
@@ -7,6 +7,13 @@ impossible. Here both halves exist: `save` writes the complete train state
 (params, optimizer state, step, best-val, histories) via orbax, and
 `restore_latest` rebuilds it into a structurally-identical template so
 training continues exactly where it stopped.
+
+The rolling step pool keeps only the newest `max_to_keep` checkpoints, so
+the best-validation state would normally be pruned a few epochs after it
+occurs. `save_best` therefore writes to a separate `best/` slot that the
+pruner never touches (the reference's best-val `torch.save` kept the best
+model the same way, training.py:216-233); `export-checkpoint --best` reads
+it back.
 """
 
 from __future__ import annotations
@@ -46,6 +53,23 @@ class CheckpointManager:
         self._prune()
         return path
 
+    def save_best(self, step: int, tree: Any, *,
+                  metrics: Optional[dict] = None) -> Path:
+        """Write the best-val state to the durable `best/` slot (never pruned)."""
+        path = self.root / "best"
+        tmp = self.root / "best.tmp"
+        if tmp.exists():
+            shutil.rmtree(tmp)
+        self._ckpt.save(tmp, tree)
+        self._ckpt.wait_until_finished()
+        meta = dict(metrics or {})
+        meta["step"] = int(step)
+        (tmp / "metrics.json").write_text(json.dumps(meta))
+        if path.exists():
+            shutil.rmtree(path)
+        tmp.rename(path)
+        return path
+
     def _prune(self) -> None:
         steps = self.all_steps()
         for s in steps[: -self.max_to_keep]:
@@ -75,6 +99,20 @@ class CheckpointManager:
         if step is None:
             return None
         return step, self.restore(step, template)
+
+    def restore_best(self, template: Any) -> Optional[Tuple[int, Any]]:
+        """Restore the `best/` slot. Returns (step, state) or None."""
+        path = self.root / "best"
+        if not path.exists():
+            return None
+        abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, template)
+        state = self._ckpt.restore(path, abstract)
+        meta = self.read_best_metrics() or {}
+        return int(meta.get("step", -1)), state
+
+    def read_best_metrics(self) -> Optional[dict]:
+        p = self.root / "best" / "metrics.json"
+        return json.loads(p.read_text()) if p.exists() else None
 
     def read_metrics(self, step: int) -> Optional[dict]:
         p = self.root / f"step_{step:010d}" / "metrics.json"

@@ -274,13 +274,23 @@ def train(
                 log_fn(f"[train] resumed from step {step0} (epoch {start_epoch})")
 
     if mesh is not None:
+        from vqvdb_tpu.parallel.distributed import (
+            global_batch_from_local, local_batch_slice)
         from vqvdb_tpu.parallel.mesh import make_sharded_train_step, make_sharded_eval_step
         step_fn = make_sharded_train_step(mesh, opt, mcfg, tcfg)
         eval_fn = make_sharded_eval_step(mesh, mcfg, tcfg)
+        multi_host = jax.process_count() > 1
+
+        def to_device(batch):
+            # Every host iterates the same seeded global batch order; under
+            # multi-host each contributes only its slice's device buffers.
+            rows = batch[local_batch_slice(batch.shape[0])] if multi_host else batch
+            return global_batch_from_local(mesh, rows)
     else:
         step_fn = jax.jit(
             lambda s, b: train_step(s, b, opt, mcfg, tcfg), donate_argnums=(0,))
         eval_fn = jax.jit(lambda p, b: eval_step(p, b, mcfg, tcfg))
+        to_device = jnp.asarray
 
     history: Dict[str, list] = {"train_recon": [], "train_vq": [], "val_loss": [],
                                 "perplexity": []}
@@ -295,7 +305,7 @@ def train(
             train_view.batches(tcfg.batch_size, shuffle=True,
                                seed=tcfg.seed, epoch=epoch)
         ):
-            state, metrics, z = step_fn(state, jnp.asarray(batch))
+            state, metrics, z = step_fn(state, to_device(batch))
             if i == 0:
                 first_z = z  # held for dead-code reset (ref :152-154)
             n_steps += 1
@@ -322,7 +332,7 @@ def train(
         # Validation (ref :184-208).
         val_losses = []
         for batch in val_view.batches(tcfg.batch_size, drop_remainder=True):
-            val_losses.append(float(eval_fn(state.params, jnp.asarray(batch))["loss"]))
+            val_losses.append(float(eval_fn(state.params, to_device(batch))["loss"]))
         val_loss = float(np.mean(val_losses)) if val_losses else float("nan")
 
         denom = max(n_steps, 1)
@@ -337,13 +347,22 @@ def train(
             f"({time.perf_counter() - t0:.1f}s)"
         )
 
-        if manager and (
-            val_loss < best_val
-            or (epoch + 1) % tcfg.checkpoint_every_epochs == 0
-        ):
-            best_val = min(best_val, val_loss)
-            manager.save(int(state.step), state,
-                         metrics={"best_val": best_val, "val_loss": val_loss,
-                                  "epoch": epoch + 1})
+        if manager:
+            # Selection metric: val loss; falls back to the epoch's train
+            # loss when the val split is smaller than one batch (tiny runs).
+            select = val_loss if not np.isnan(val_loss) else run_recon / denom
+            improved = select < best_val
+            best_val = min(best_val, select)
+            if improved:
+                # Durable slot outside the rolling pool — survives pruning
+                # (ref kept the best model the same way, training.py:216-233).
+                manager.save_best(int(state.step), state,
+                                  metrics={"val_loss": val_loss,
+                                           "epoch": epoch + 1})
+            if improved or (epoch + 1) % tcfg.checkpoint_every_epochs == 0:
+                manager.save(int(state.step), state,
+                             metrics={"best_val": best_val,
+                                      "val_loss": val_loss,
+                                      "epoch": epoch + 1})
 
     return state, history
