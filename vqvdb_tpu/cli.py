@@ -100,10 +100,29 @@ def _load_grids(path: Path, grid_name):
     if path.is_dir():
         grids = [_load_one_grid(f) for f in sorted(path.glob("*.npy"))
                  if not f.name.endswith("_origins.npy")]
+        for f in sorted(path.glob("*.vdb")):
+            grids.extend(_load_vdb(f))
+    elif path.suffix == ".vdb":
+        grids = _load_vdb(path)
     else:
         grids = [_load_one_grid(path)]
     if grid_name:
         grids = [g for g in grids if g.name == grid_name]
+    return grids
+
+
+def _load_vdb(path: Path):
+    """Real OpenVDB asset ingestion (the reference's loadGrid-over-geometry
+    path, ref: src/Utils/Utils.hpp:361-403 feeding VQVAECodec.cpp:36-59)."""
+    from vqvdb_tpu.vdb.openvdb_io import read_vdb_leafgrids
+
+    grids = read_vdb_leafgrids(path)
+    for g in grids:
+        dropped = getattr(g, "dropped_tiles", 0)
+        if dropped:
+            print(f"warning: grid '{g.name}': {dropped} active constant "
+                  "tile(s) larger than a leaf were dropped (the VQ codec "
+                  "compresses 8^3 leaves only)", file=sys.stderr)
     return grids
 
 
@@ -128,7 +147,20 @@ def _cmd_decode(args) -> int:
     codec = api.make_codec(args.model, batch_size=args.batch_size,
                            compute_dtype=args.compute_dtype)
     grids, stats = api.decode(args.input, codec, progress=args.verbose)
-    out_dir = Path(args.output)
+    out_path = Path(args.output)
+    if args.vdb or out_path.suffix == ".vdb":
+        # Write all decoded grids into one OpenVDB asset (the reference's
+        # GU_PrimVDB::buildFromGrid step, ref: SOP_VQVDB_Decoder.cpp:109-114).
+        from vqvdb_tpu.vdb.openvdb_io import write_vdb_leafgrids
+
+        out_path.parent.mkdir(parents=True, exist_ok=True)
+        write_vdb_leafgrids(out_path, grids)
+        print(json.dumps({"grids": [g.name for g in grids],
+                          "vdb": str(out_path),
+                          **{k: round(v, 2) if isinstance(v, float) else v
+                             for k, v in stats.items()}}))
+        return 0
+    out_dir = out_path
     out_dir.mkdir(parents=True, exist_ok=True)
     for g in grids:
         if args.dense:
@@ -329,7 +361,7 @@ def main(argv=None) -> int:
     pt.set_defaults(func=_cmd_train)
 
     pe = sub.add_parser("encode", help="Compress grids to a .vqvdb file.")
-    pe.add_argument("input", help=".npy leaf file or directory of them")
+    pe.add_argument("input", help=".vdb / .npy leaf file, or directory of them")
     pe.add_argument("output", help="output .vqvdb path")
     pe.add_argument("--model", required=True, help=".vqmodel artifact")
     pe.add_argument("--grid", default=None, help="grid name filter (SOP vdbname)")
@@ -340,13 +372,16 @@ def main(argv=None) -> int:
 
     pd = sub.add_parser("decode", help="Decompress a .vqvdb file.")
     pd.add_argument("input", help=".vqvdb path")
-    pd.add_argument("output", help="output directory for .npy grids")
+    pd.add_argument("output", help="output directory for .npy grids, or a "
+                                   ".vdb path (implies --vdb)")
     pd.add_argument("--model", required=True)
     pd.add_argument("--batch-size", type=int, default=4096)
     pd.add_argument("--compute-dtype", default="bfloat16")
     pd.add_argument("--dense", action="store_true",
                     help="write dense volumes (scattered over each grid's "
                          "bbox) instead of leaf arrays")
+    pd.add_argument("--vdb", action="store_true",
+                    help="write one OpenVDB .vdb file containing all grids")
     pd.add_argument("-v", "--verbose", action="store_true")
     pd.set_defaults(func=_cmd_decode)
 
