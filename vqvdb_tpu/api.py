@@ -30,15 +30,26 @@ def make_codec(
     batch_size: int = 4096,
     compute_dtype: str = "bfloat16",
     use_pallas: bool = False,
+    data_parallel: bool = False,
+    mesh=None,
 ) -> VQCodec:
-    """Build a codec from a `.vqmodel` artifact path or (params, cfg)."""
+    """Build a codec from a `.vqmodel` artifact path or (params, cfg).
+
+    data_parallel=True shards every device step over all local devices
+    (pass an explicit `mesh` instead for a subset); file-level output is
+    byte-identical to the single-device codec.
+    """
     if isinstance(model, (str, Path)):
         params, mcfg = load_model(model)
     else:
         params, mcfg = model
+    if data_parallel and mesh is None:
+        from vqvdb_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
     ccfg = CodecConfig(batch_size=batch_size, compute_dtype=compute_dtype,
                        use_pallas=use_pallas)
-    return VQCodec(params, mcfg, ccfg)
+    return VQCodec(params, mcfg, ccfg, mesh=mesh)
 
 
 def encode(

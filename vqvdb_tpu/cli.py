@@ -134,7 +134,8 @@ def _cmd_encode(args) -> int:
         print("error: no grids matched", file=sys.stderr)
         return 2
     codec = api.make_codec(args.model, batch_size=args.batch_size,
-                           compute_dtype=args.compute_dtype)
+                           compute_dtype=args.compute_dtype,
+                           data_parallel=args.data_parallel)
     stats = api.encode(grids, codec, args.output, progress=args.verbose)
     print(json.dumps({"grids": len(grids), **{k: round(v, 2) if isinstance(v, float)
                                               else v for k, v in stats.items()}}))
@@ -145,7 +146,8 @@ def _cmd_decode(args) -> int:
     from vqvdb_tpu import api
 
     codec = api.make_codec(args.model, batch_size=args.batch_size,
-                           compute_dtype=args.compute_dtype)
+                           compute_dtype=args.compute_dtype,
+                           data_parallel=args.data_parallel)
     grids, stats = api.decode(args.input, codec, progress=args.verbose)
     out_path = Path(args.output)
     if args.vdb or out_path.suffix == ".vdb":
@@ -367,6 +369,8 @@ def main(argv=None) -> int:
     pe.add_argument("--grid", default=None, help="grid name filter (SOP vdbname)")
     pe.add_argument("--batch-size", type=int, default=4096)
     pe.add_argument("--compute-dtype", default="bfloat16")
+    pe.add_argument("--data-parallel", action="store_true",
+                    help="shard each device step over all local devices")
     pe.add_argument("-v", "--verbose", action="store_true")
     pe.set_defaults(func=_cmd_encode)
 
@@ -382,6 +386,8 @@ def main(argv=None) -> int:
                          "bbox) instead of leaf arrays")
     pd.add_argument("--vdb", action="store_true",
                     help="write one OpenVDB .vdb file containing all grids")
+    pd.add_argument("--data-parallel", action="store_true",
+                    help="shard each device step over all local devices")
     pd.add_argument("-v", "--verbose", action="store_true")
     pd.set_defaults(func=_cmd_decode)
 

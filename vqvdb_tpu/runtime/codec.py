@@ -61,6 +61,13 @@ class VQCodec:
     fast paths (folded final conv, fused projection scores, packed down
     conv) precompute constants from it at init. Build a new codec for new
     weights.
+
+    With `mesh` (a 1-D jax.sharding.Mesh), every device step runs
+    data-parallel: the padded batch is sharded over the mesh's 'data' axis,
+    params/codebook replicated, no cross-chip traffic in the step (SURVEY
+    §2.3 DP-inference). File-level compress/decompress then produce output
+    byte-identical to the single-device codec — proven by
+    tests/test_parallel.py.
     """
 
     def __init__(
@@ -69,6 +76,7 @@ class VQCodec:
         model_config: ModelConfig,
         codec_config: Optional[CodecConfig] = None,
         profiler=None,
+        mesh=None,
     ) -> None:
         from vqvdb_tpu.utils.profiler import Profiler
 
@@ -117,6 +125,21 @@ class VQCodec:
             down = params.encoder["down"]
             self._folded_down = fold_strided_conv(
                 np.asarray(down["w"]), np.asarray(down["b"]))
+        # Data-parallel device steps over a mesh (set up last: the sharded
+        # steps close over the fold constants computed above).
+        self.mesh = mesh
+        if mesh is not None:
+            from vqvdb_tpu.parallel.mesh import (
+                make_sharded_decode, make_sharded_encode, replicate)
+
+            n_dev = int(mesh.devices.size)
+            if self.ccfg.batch_size % n_dev:
+                raise ValueError(
+                    f"batch_size {self.ccfg.batch_size} must divide evenly "
+                    f"over the {n_dev}-device mesh")
+            self.params = replicate(self.params, mesh)
+            self._encode_jit = make_sharded_encode(mesh, self)
+            self._decode_jit = make_sharded_decode(mesh, self)
 
     # -- device steps (traced once per shape) ----------------------------
     def _encode_step(self, params: VQVAEParams, leaves: jnp.ndarray) -> jnp.ndarray:
@@ -212,6 +235,14 @@ class VQCodec:
             out[s : s + n] = np.asarray(dev)[:n]
         return out
 
+    def _to_device(self, chunk: np.ndarray):
+        """Host batch -> device array (sharded over the mesh if present)."""
+        if self.mesh is not None:
+            from vqvdb_tpu.parallel.mesh import shard_batch
+
+            return shard_batch(chunk, self.mesh)
+        return jnp.asarray(chunk)
+
     def _pipelined(self, step_fn, data: np.ndarray):
         """Fixed-shape batched dispatch with PIPELINE_DEPTH steps in flight.
 
@@ -232,7 +263,7 @@ class VQCodec:
                     pad = np.zeros((bs - n,) + chunk.shape[1:], chunk.dtype)
                     chunk = np.concatenate([chunk, pad], axis=0)
             with self.profiler("device/dispatch"):
-                dev = step_fn(self.params, jnp.asarray(chunk))
+                dev = step_fn(self.params, self._to_device(chunk))
             pending.append((dev, s, n))
             if len(pending) >= PIPELINE_DEPTH:
                 yield pending.popleft()
@@ -319,7 +350,7 @@ class VQCodec:
                         chunk = np.concatenate(
                             [idx, np.zeros((bs - n,) + idx.shape[1:], idx.dtype)]
                         )
-                    dev = self._decode_jit(self.params, jnp.asarray(chunk))
+                    dev = self._decode_jit(self.params, self._to_device(chunk))
                     pending.append((dev, org, n))
                     if len(pending) >= PIPELINE_DEPTH:
                         d, o, m = pending.popleft()
