@@ -7,13 +7,33 @@ host, but Houdini's Python SOP runs this module directly: drop a Python SOP,
 `import vqvdb_tpu.integrations.houdini as vq`, and call `cook_encoder` /
 `cook_decoder` from the node's code with the same parameter names.
 
-Both functions degrade gracefully outside Houdini (node=None): they accept /
+In-Houdini data exchange uses two bridges, most robust first:
+
+  1. Geometry-file bridge (primary): `hou.Geometry.saveToFile` writes the
+     input VDB prims to a temp .vdb, which vqvdb_tpu's own spec-derived
+     OpenVDB reader ingests exactly (leaves, masks, transforms — no dense
+     materialization). The decoder inverts it: our writer emits a temp
+     .vdb and `hou.Geometry.loadFromFile` pulls real sparse VDB prims back
+     into the node. Mirrors the reference's loadGrid /
+     GU_PrimVDB::buildFromGrid endpoints (SOP_VQVDB_Encoder.cpp:115-129,
+     SOP_VQVDB_Decoder.cpp:109-114).
+  2. Voxel-sampling fallback: if Houdini saved the temp file with a
+     compression codec this host can't decode (blosc), VDB prims are read
+     through `hou.VDB.activeVoxelBoundingBox()` + `voxelRangeAsFloat()`
+     (dense over the active bbox, then sparsified), and `hou.Volume` prims
+     through `resolution()` + `allVoxels()`.
+
+Both cooks degrade gracefully outside Houdini (node=None): they accept /
 return LeafGrids, so the module doubles as the reference's verb layer for
-any DCC that embeds Python.
+any DCC that embeds Python. Both in-Houdini paths are unit-tested against
+a fake `hou` module (tests/test_integrations.py) that emulates the
+documented API surface.
 """
 
 from __future__ import annotations
 
+import tempfile
+from pathlib import Path
 from typing import List, Optional, Sequence
 
 import numpy as np
@@ -22,22 +42,106 @@ from vqvdb_tpu import api
 from vqvdb_tpu.vdb.grid import LeafGrid
 
 
+# ---------------------------------------------------------------------------
+# Houdini -> LeafGrid
+# ---------------------------------------------------------------------------
+
+def _prim_name(prim, default: str = "density") -> str:
+    try:
+        if prim.findAttrib is not None and prim.findAttrib("name"):
+            return prim.attribValue("name") or default
+    except Exception:
+        pass
+    return default
+
+
+def _grids_via_geo_file(geo) -> List[LeafGrid]:
+    """Primary bridge: round the geometry through a temp .vdb file."""
+    from vqvdb_tpu.vdb.openvdb_io import read_vdb_leafgrids
+
+    with tempfile.TemporaryDirectory() as td:
+        path = Path(td) / "vqvdb_bridge.vdb"
+        geo.saveToFile(str(path))
+        return read_vdb_leafgrids(path)
+
+
+def _dense_from_vdb_prim(prim, hou) -> Optional[LeafGrid]:
+    """Fallback: sample a hou.VDB prim densely over its active bbox.
+
+    hou.VDB.voxelRangeAsFloat returns values with the x index changing
+    fastest (Houdini volume voxel ordering), hence the Fortran-order
+    reshape.
+    """
+    bbox = prim.activeVoxelBoundingBox()
+    lo = np.asarray(bbox.minvec(), np.int64)
+    hi = np.asarray(bbox.maxvec(), np.int64)
+    res = (hi - lo + 1).astype(int)
+    if np.any(res <= 0):
+        return None
+    name = _prim_name(prim)
+    if hasattr(prim, "voxelRangeAsVector3") and _is_vector_vdb(prim):
+        flat = np.asarray(prim.voxelRangeAsVector3(bbox), np.float32)
+        dense = flat.reshape((*res[::-1], 3)).transpose(2, 1, 0, 3)
+    else:
+        flat = np.asarray(prim.voxelRangeAsFloat(bbox), np.float32)
+        dense = flat.reshape(res[::-1]).transpose(2, 1, 0)
+    # Align leaves with the VDB's own index space so origins round-trip.
+    origin = (lo // 8) * 8
+    pad_lo = (lo - origin).astype(int)
+    if np.any(pad_lo):
+        pads = [(int(p), 0) for p in pad_lo]
+        if dense.ndim == 4:
+            pads.append((0, 0))
+        dense = np.pad(dense, pads)
+    return LeafGrid.from_dense(name, dense, origin=tuple(int(v) for v in origin))
+
+
+def _is_vector_vdb(prim) -> bool:
+    try:
+        return "vec" in str(prim.dataType()).lower()
+    except Exception:
+        return False
+
+
+def _dense_from_volume_prim(prim) -> LeafGrid:
+    """hou.Volume prims: resolution() + allVoxels() (x fastest)."""
+    res = tuple(int(v) for v in prim.resolution())
+    flat = np.asarray(prim.allVoxels(), np.float32)
+    dense = flat.reshape(res[::-1]).transpose(2, 1, 0)
+    return LeafGrid.from_dense(_prim_name(prim), dense)
+
+
 def _grids_from_hou_node(node) -> List[LeafGrid]:
-    """Extract FloatGrid-like VDB prims from a Houdini node's first input
-    as LeafGrids (voxel values sampled per active leaf)."""
+    """Extract VDB/Volume prims from a Houdini node's first input."""
     import hou  # available only inside Houdini
 
-    grids: List[LeafGrid] = []
-    geo = node.inputs()[0].geometry()
+    inputs = node.inputs()
+    if not inputs or inputs[0] is None:
+        raise ValueError("encoder node has no connected input")
+    geo = inputs[0].geometry()
+
+    try:
+        grids = _grids_via_geo_file(geo)
+        if grids:
+            return grids
+    except Exception:
+        pass  # e.g. blosc-compressed save; fall through to direct sampling
+
+    grids = []
     for prim in geo.prims():
-        if prim.type() != hou.primType.VDB:
-            continue
-        name = prim.attribValue("name") if prim.findAttrib("name") else "density"
-        res = prim.resolution()
-        dense = np.asarray(prim.allVoxels(), dtype=np.float32).reshape(res)
-        grids.append(LeafGrid.from_dense(name, dense))
+        ptype = prim.type()
+        if ptype == hou.primType.VDB:
+            g = _dense_from_vdb_prim(prim, hou)
+            if g is not None:
+                grids.append(g)
+        elif ptype == hou.primType.Volume:
+            grids.append(_dense_from_volume_prim(prim))
     return grids
 
+
+# ---------------------------------------------------------------------------
+# Cooks (ref: SOP_VQVDB_EncoderVerb::cook / SOP_VQVDB_DecoderVerb::cook)
+# ---------------------------------------------------------------------------
 
 def cook_encoder(
     *,
@@ -48,8 +152,8 @@ def cook_encoder(
     node=None,
     grids: Optional[Sequence[LeafGrid]] = None,
 ) -> dict:
-    """Encoder cook (ref: SOP_VQVDB_EncoderVerb::cook semantics — collect
-    grids, filter by name, compress to outputpath)."""
+    """Encoder cook (ref: SOP_VQVDB_Encoder.cpp:84-141 — collect grids,
+    filter by name, compress to outputpath)."""
     if grids is None:
         if node is None:
             raise ValueError("pass `grids` outside Houdini, or `node` inside")
@@ -66,16 +170,18 @@ def cook_decoder(
     model: str = "",
     node=None,
 ) -> List[LeafGrid]:
-    """Decoder cook (ref: SOP_VQVDB_DecoderVerb::cook — generator node:
-    read file, decode, build grids). Inside Houdini, writes VDB prims onto
-    the node's geometry; always returns the LeafGrids."""
+    """Decoder cook (ref: SOP_VQVDB_Decoder.cpp:78-115 — generator node:
+    read file, decode, build grids). Inside Houdini the decoded grids are
+    written to a temp .vdb by our own writer and merged onto the node's
+    geometry with hou.Geometry.loadFromFile, which builds real sparse VDB
+    prims (the GU_PrimVDB::buildFromGrid equivalent). Always returns the
+    LeafGrids."""
     grids, _ = api.decode(inputfile, model, batch_size=batchsize)
     if node is not None:
-        import hou
+        from vqvdb_tpu.vdb.openvdb_io import write_vdb_leafgrids
 
-        geo = node.geometry()
-        for g in grids:
-            dense, lo = g.to_dense()
-            vdb = hou.Geometry.createVolume(geo, dense.shape[:3])  # best-effort
-            vdb.setAllVoxels(dense[..., 0].ravel().tolist())
+        with tempfile.TemporaryDirectory() as td:
+            path = Path(td) / "vqvdb_decoded.vdb"
+            write_vdb_leafgrids(path, grids)
+            node.geometry().loadFromFile(str(path))
     return grids
