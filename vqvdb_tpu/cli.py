@@ -313,6 +313,67 @@ def _cmd_export_checkpoint(args) -> int:
     return 0
 
 
+def _cmd_export_torch(args) -> int:
+    """Export a .vqmodel to reference-runtime torch artifacts: a state_dict
+    checkpoint (.pth, reference trainer layout) and/or a TorchScript module
+    (.pt with encode/decode — the input of the reference's to_onnx.py)."""
+    from vqvdb_tpu.core.artifact import load_model
+    from vqvdb_tpu.interop import save_reference_checkpoint, save_torchscript
+
+    params, cfg = load_model(args.model)
+    out = {}
+    if args.checkpoint:
+        Path(args.checkpoint).parent.mkdir(parents=True, exist_ok=True)
+        save_reference_checkpoint(args.checkpoint, params, cfg)
+        out["checkpoint"] = str(args.checkpoint)
+    if args.torchscript:
+        Path(args.torchscript).parent.mkdir(parents=True, exist_ok=True)
+        save_torchscript(args.torchscript, params, cfg)
+        out["torchscript"] = str(args.torchscript)
+    if not out:
+        print("error: pass --checkpoint and/or --torchscript", file=sys.stderr)
+        return 2
+    print(json.dumps(out))
+    return 0
+
+
+def _cmd_export_onnx(args) -> int:
+    """Emit encoder.onnx/decoder.onnx from a .vqmodel and (by default)
+    validate them against the JAX forward at atol 1e-5 — the reference's
+    own deployment gate (ref: python/to_onnx.py:185-219)."""
+    import numpy as np
+
+    from vqvdb_tpu.core.artifact import load_model
+    from vqvdb_tpu.interop import export_onnx
+
+    params, cfg = load_model(args.model)
+    paths = export_onnx(args.output_dir, params, cfg)
+    result = dict(paths)
+    if not args.no_validate:
+        import jax.numpy as jnp
+
+        from vqvdb_tpu.interop.onnx_eval import run_model
+        from vqvdb_tpu.models.vqvae import decode_from_indices, encode_to_indices
+
+        rng = np.random.default_rng(0)
+        x = rng.random((4, 8, 8, 8, cfg.in_channels), np.float32)
+        want_idx = np.asarray(encode_to_indices(params, jnp.asarray(x), cfg))
+        got_idx = run_model(paths["encoder"],
+                            {"input": np.moveaxis(x, -1, 1)})["output"]
+        idx_match = float(np.mean(want_idx == got_idx))
+        want = np.asarray(decode_from_indices(params, jnp.asarray(want_idx), cfg))
+        got = run_model(paths["decoder"], {"input": want_idx})["output"]
+        dec_err = float(np.abs(np.moveaxis(got, 1, -1) - want).max())
+        result.update({"encoder_index_agreement": idx_match,
+                       "decoder_max_abs_err": dec_err,
+                       "valid": bool(idx_match == 1.0 and dec_err < 1e-5)})
+        if not result["valid"]:
+            print(json.dumps(result))
+            return 3
+    print(json.dumps(result))
+    return 0
+
+
 def _cmd_datagen(args) -> int:
     """Generate procedural training data (npy leaf files)."""
     from vqvdb_tpu.train.synthetic import make_leaf_dataset_files
@@ -440,6 +501,24 @@ def main(argv=None) -> int:
     px.add_argument("--embedding-dim", type=int, default=128)
     px.add_argument("--num-embeddings", type=int, default=256)
     px.set_defaults(func=_cmd_export_checkpoint)
+
+    pxt = sub.add_parser(
+        "export-torch",
+        help="Export a .vqmodel to reference torch artifacts (.pth/.pt).")
+    pxt.add_argument("model", help=".vqmodel artifact")
+    pxt.add_argument("--checkpoint", help="output .pth (reference trainer layout)")
+    pxt.add_argument("--torchscript",
+                     help="output .pt TorchScript (to_onnx.py-compatible)")
+    pxt.set_defaults(func=_cmd_export_torch)
+
+    pxo = sub.add_parser(
+        "export-onnx",
+        help="Emit encoder.onnx/decoder.onnx for the reference ORT runtime.")
+    pxo.add_argument("model", help=".vqmodel artifact")
+    pxo.add_argument("output_dir", help="directory for encoder.onnx/decoder.onnx")
+    pxo.add_argument("--no-validate", action="store_true",
+                     help="skip the JAX-vs-ONNX parity check")
+    pxo.set_defaults(func=_cmd_export_onnx)
 
     pg = sub.add_parser("datagen", help="Generate procedural npy leaf data.")
     pg.add_argument("out_dir")

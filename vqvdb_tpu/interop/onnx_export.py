@@ -1,0 +1,218 @@
+"""Emit encoder.onnx / decoder.onnx from VQVAEParams (opset 11).
+
+Matches the reference deployment contract exactly (ref: python/to_onnx.py:
+114-151 and the EncoderWrapper/DecoderWrapper at 19-43): graphs named by
+file, I/O tensors named 'input'/'output', dynamic batch axis, encoder
+returns uint8 codebook indices, decoder consumes them — so the emitted
+files drop into the reference's ONNX-Runtime C++ backend unmodified.
+
+No torch / onnx package involved: the graph is built op-by-op from the
+reference-keyed state_dict (interop/torch_export.export_state_dict) and
+serialized with the wire-level writer in onnx_proto.py. Ops used are all
+opset-11 core: Conv, Relu, Sigmoid, Tanh, Add, Sub, Mul, Div, Sqrt,
+ReduceMean, MatMul, Reshape, Transpose, Cast, Gather, ArgMin. GroupNorm
+(not in opset 11) is decomposed into Reshape/ReduceMean arithmetic; the
+3D pixel shuffle into Reshape/Transpose/Reshape with the reference's
+(oc, rd, rh, rw) channel split (ref: python/VQVAE_v2.py:172-187).
+
+The parity gate lives in tests/test_interop.py: serialized bytes are
+re-parsed and executed by onnx_eval.py and compared to the JAX forward at
+atol 1e-5 (the reference's own validation threshold, to_onnx.py:208).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Dict, List, Union
+
+import numpy as np
+
+from vqvdb_tpu.core.config import LATENT_DIM, ModelConfig
+from vqvdb_tpu.interop import onnx_proto as P
+from vqvdb_tpu.interop.torch_export import export_state_dict
+from vqvdb_tpu.models.vqvae import VQVAEParams
+
+_L = LATENT_DIM  # 4
+
+
+class _Builder:
+    """Accumulates nodes/initializers; names values v0, v1, ..."""
+
+    def __init__(self) -> None:
+        self.nodes: List[bytes] = []
+        self.inits: List[bytes] = []
+        self._n = 0
+
+    def fresh(self) -> str:
+        self._n += 1
+        return f"v{self._n}"
+
+    def init(self, arr: np.ndarray, name: str = "") -> str:
+        name = name or f"w{len(self.inits)}"
+        self.inits.append(P.tensor_proto(name, np.ascontiguousarray(arr)))
+        return name
+
+    def op(self, op_type: str, inputs: List[str], out: str = "", **attrs) -> str:
+        out = out or self.fresh()
+        self.nodes.append(P.node_proto(op_type, inputs, [out], **attrs))
+        return out
+
+    # -- composite stages ---------------------------------------------------
+
+    def const_scalar(self, v: float) -> str:
+        return self.init(np.asarray([v], np.float32))
+
+    def shape_const(self, dims: List[int]) -> str:
+        return self.init(np.asarray(dims, np.int64))
+
+    def conv(self, x: str, sd: Dict, key: str, *, stride: int = 1,
+             pad: int = 0) -> str:
+        w = self.init(sd[f"{key}.weight"], f"{key}.weight")
+        ins = [x, w]
+        if f"{key}.bias" in sd:
+            ins.append(self.init(sd[f"{key}.bias"], f"{key}.bias"))
+        k = sd[f"{key}.weight"].shape[2]
+        return self.op("Conv", ins, strides=[stride] * 3, pads=[pad] * 6,
+                       kernel_shape=[k] * 3)
+
+    def group_norm(self, x: str, sd: Dict, key: str, groups: int,
+                   channels: int, spatial: int, eps: float = 1e-5) -> str:
+        r = self.op("Reshape", [x, self.shape_const([0, groups, -1])])
+        mean = self.op("ReduceMean", [r], axes=[2], keepdims=1)
+        d = self.op("Sub", [r, mean])
+        var = self.op("ReduceMean", [self.op("Mul", [d, d])], axes=[2], keepdims=1)
+        sdv = self.op("Sqrt", [self.op("Add", [var, self.const_scalar(eps)])])
+        norm = self.op("Div", [d, sdv])
+        back = self.op("Reshape", [norm, self.shape_const(
+            [0, channels] + [spatial] * 3)])
+        scale = self.init(sd[f"{key}.weight"].reshape(channels, 1, 1, 1),
+                          f"{key}.weight")
+        bias = self.init(sd[f"{key}.bias"].reshape(channels, 1, 1, 1),
+                         f"{key}.bias")
+        return self.op("Add", [self.op("Mul", [back, scale]), bias])
+
+    def res_block(self, x: str, sd: Dict, key: str, channels: int,
+                  spatial: int, groups: int = 8) -> str:
+        h = self.op("Relu", [self.group_norm(x, sd, f"{key}.gn1", groups,
+                                             channels, spatial)])
+        h = self.conv(h, sd, f"{key}.conv1", pad=1)
+        h = self.op("Relu", [self.group_norm(h, sd, f"{key}.gn2", groups,
+                                             channels, spatial)])
+        h = self.conv(h, sd, f"{key}.conv2", pad=1)
+        return self.op("Add", [x, self.op("Mul", [h, self.const_scalar(0.1)])])
+
+    def attention(self, x: str, sd: Dict, key: str, channels: int) -> str:
+        m = self.op("ReduceMean", [x], axes=[2, 3, 4], keepdims=0)
+        w1 = self.init(np.ascontiguousarray(sd[f"{key}.fc.0.weight"].T),
+                       f"{key}.fc.0.wT")
+        w2 = self.init(np.ascontiguousarray(sd[f"{key}.fc.2.weight"].T),
+                       f"{key}.fc.2.wT")
+        g = self.op("Relu", [self.op("MatMul", [m, w1])])
+        g = self.op("Sigmoid", [self.op("MatMul", [g, w2])])
+        g = self.op("Reshape", [g, self.shape_const([0, channels, 1, 1, 1])])
+        return self.op("Mul", [x, g])
+
+    def pixel_shuffle(self, x: str, oc: int, r: int, spatial: int) -> str:
+        s = self.op("Reshape", [x, self.shape_const(
+            [0, oc, r, r, r] + [spatial] * 3)])
+        t = self.op("Transpose", [s], perm=[0, 1, 5, 2, 6, 3, 7, 4])
+        return self.op("Reshape", [t, self.shape_const(
+            [0, oc] + [spatial * r] * 3)])
+
+    def model(self, name: str, in_vi: bytes, out_vi: bytes) -> bytes:
+        g = P.graph_proto(name, self.nodes, self.inits, [in_vi], [out_vi])
+        return P.model_proto(g)
+
+
+def _encoder_body(b: _Builder, sd: Dict, cfg: ModelConfig, x: str) -> str:
+    """'input' -> latent z (B, D, 4, 4, 4); mirrors models/vqvae.py
+    encoder_apply stage-for-stage."""
+    if cfg.variant == "scalar":
+        h = b.conv(x, sd, "encoder.pre.0", pad=1)
+        h = b.op("Relu", [b.group_norm(h, sd, "encoder.pre.1", 4, 16, 8)])
+        h = b.res_block(h, sd, "encoder.pre.3", 16, 8)
+        h = b.conv(h, sd, "encoder.down", stride=2, pad=1)
+        h = b.res_block(h, sd, "encoder.res_stack.0", 32, _L)
+        h = b.attention(h, sd, "encoder.attn", 32)
+    else:
+        h = b.conv(x, sd, "encoder.pre.0", pad=1)
+        h = b.op("Relu", [b.group_norm(h, sd, "encoder.pre.1", 8, 64, 8)])
+        h = b.res_block(h, sd, "encoder.pre.3", 64, 8)
+        h = b.conv(h, sd, "encoder.down1", stride=2, pad=1)
+        h = b.res_block(h, sd, "encoder.res_stack.0", 128, _L)
+        h = b.res_block(h, sd, "encoder.res_stack.1", 128, _L)
+        h = b.attention(h, sd, "encoder.attn", 128)
+    return b.conv(h, sd, "encoder.proj")
+
+
+def _decoder_body(b: _Builder, sd: Dict, cfg: ModelConfig, z: str) -> str:
+    """latent (B, D, 4, 4, 4) -> pre-activation reconstruction."""
+    if cfg.variant == "scalar":
+        h = b.conv(z, sd, "decoder.stem.0", pad=1)
+        h = b.op("Relu", [b.group_norm(h, sd, "decoder.stem.1", 8, 64, _L)])
+        h = b.res_block(h, sd, "decoder.res_stack.0", 64, _L)
+        h = b.attention(h, sd, "decoder.attn", 64)
+    else:
+        h = b.conv(z, sd, "decoder.stem.0", pad=1)
+        h = b.op("Relu", [b.group_norm(h, sd, "decoder.stem.1", 8, 128, _L)])
+        h = b.res_block(h, sd, "decoder.res_stack.0", 128, _L)
+        h = b.res_block(h, sd, "decoder.res_stack.1", 128, _L)
+        h = b.attention(h, sd, "decoder.attn", 128)
+    h = b.conv(h, sd, "decoder.up_conv", pad=1)
+    h = b.pixel_shuffle(h, 32, 2, _L)
+    return b.conv(h, sd, "decoder.final", pad=1)
+
+
+def _index_onnx_dtype(cfg: ModelConfig) -> int:
+    # uint8 matches the reference wrappers (to_onnx.py:26-43); our v4
+    # extension (K > 256) needs uint16.
+    return P.UINT8 if cfg.num_embeddings <= 256 else P.UINT16
+
+
+def build_encoder_onnx(params: VQVAEParams, cfg: ModelConfig) -> bytes:
+    sd = export_state_dict(params, cfg)
+    b = _Builder()
+    z = _encoder_body(b, sd, cfg, "input")
+    t = b.op("Transpose", [z], perm=[0, 2, 3, 4, 1])
+    flat = b.op("Reshape", [t, b.shape_const([-1, cfg.embedding_dim])])
+    emb = sd["quantizer.embedding"]  # (K, D)
+    scores = b.op("MatMul", [flat, b.init(np.ascontiguousarray(emb.T), "embT")])
+    dist = b.op("Add", [b.op("Mul", [scores, b.const_scalar(-2.0)]),
+                        b.init((emb * emb).sum(1), "emb_sq")])
+    idx = b.op("ArgMin", [dist], axis=1, keepdims=0)
+    idx = b.op("Reshape", [idx, b.shape_const([-1] + [_L] * 3)])
+    b.op("Cast", [idx], out="output", to=_index_onnx_dtype(cfg))
+    in_vi = P.value_info("input", P.FLOAT,
+                         ["batch_size", cfg.in_channels, 8, 8, 8])
+    out_vi = P.value_info("output", _index_onnx_dtype(cfg),
+                          ["batch_size", _L, _L, _L])
+    return b.model("vqvdb_encoder", in_vi, out_vi)
+
+
+def build_decoder_onnx(params: VQVAEParams, cfg: ModelConfig) -> bytes:
+    sd = export_state_dict(params, cfg)
+    b = _Builder()
+    idx = b.op("Cast", ["input"], to=P.INT64)
+    q = b.op("Gather", [b.init(sd["quantizer.embedding"], "embedding"), idx],
+             axis=0)  # (B, 4, 4, 4, D)
+    z = b.op("Transpose", [q], perm=[0, 4, 1, 2, 3])
+    h = _decoder_body(b, sd, cfg, z)
+    act = "Sigmoid" if cfg.variant == "scalar" else "Tanh"
+    b.op(act, [h], out="output")
+    in_vi = P.value_info("input", _index_onnx_dtype(cfg),
+                         ["batch_size", _L, _L, _L])
+    out_vi = P.value_info("output", P.FLOAT,
+                          ["batch_size", cfg.in_channels, 8, 8, 8])
+    return b.model("vqvdb_decoder", in_vi, out_vi)
+
+
+def export_onnx(out_dir: Union[str, Path], params: VQVAEParams,
+                cfg: ModelConfig) -> Dict[str, str]:
+    """Write encoder.onnx + decoder.onnx (the file names the reference
+    runtime looks for) into out_dir; returns the paths."""
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    enc, dec = out / "encoder.onnx", out / "decoder.onnx"
+    enc.write_bytes(build_encoder_onnx(params, cfg))
+    dec.write_bytes(build_decoder_onnx(params, cfg))
+    return {"encoder": str(enc), "decoder": str(dec)}
