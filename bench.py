@@ -1,7 +1,7 @@
 """Benchmark: decoded leaves (8^3 blocks)/sec per chip — the north-star metric.
 
 Prints ONE JSON line:
-    {"metric": ..., "value": N, "unit": "leaves/s", "vs_baseline": N}
+    {"metric": ..., "value": N, "unit": "leaves/s", "vs_baseline": N, ...}
 
 Methodology
 -----------
@@ -18,43 +18,71 @@ shape — batch 64 (the SOP parm default, ref: src/SOP/SOP_VQVDB_Encoder.cpp),
 f32 math, no fused quantizer kernels, batches strictly sequential (the
 reference hot loop is fully synchronous, ref: src/orchestrator/
 VQVAECodec.cpp:108-127). `vs_baseline` = optimized / baseline.
+
+Pinned baseline protocol (round-2): the tiny baseline graph's throughput
+varies between XLA compilations (BASELINE.md round-1 row: 675k-1.18M
+leaves/s). The baseline is therefore the MEDIAN over BASELINE_COMPILES
+fresh compilations — each run salts the graph with a distinct embedded
+constant so the compile cache cannot reuse the previous executable — and
+the JSON reports every run plus the relative spread, making `vs_baseline`
+reproducible instead of compilation-lottery.
+
+MFU lines use analytic FLOP counts per leaf (constants below) against the
+v5e bf16 peak of 197 TFLOP/s.
 """
 
 from __future__ import annotations
 
 import functools
 import json
+import statistics
 import time
 
 import numpy as np
 
+# Analytic dense-FLOP cost of the optimized inference graphs, per 8^3 leaf
+# (multiply-add = 2 FLOPs; elementwise/norm/lookup excluded):
+#   decode: stem conv D128->64 on 4^3 (28.3M) + RB64 2x k3 conv (28.3M)
+#           + tail GEMM 4096x512 (4.2M) + attn (~0.1M)            ~= 61 MFLOP
+#   encode: pre 1->16 (0.44M) + RB16 (14.2M) + packed down conv k4
+#           16->32 (4.2M) + RB32 (7.1M) + proj+score GEMMs (4.5M) ~= 30 MFLOP
+DECODE_MFLOP_PER_LEAF = 61.0
+ENCODE_MFLOP_PER_LEAF = 30.0
+V5E_BF16_PEAK_TFLOPS = 197.0
+BASELINE_COMPILES = 3
 
-def _fenced_rate(decode_step, params, batch, steps: int, num_embeddings: int):
-    """leaves/sec with the loop in-graph and a scalar-readback fence."""
+
+def _fenced_rate(step, params, batch, steps: int, perturb, consume,
+                 salt: int = 0):
+    """leaves/sec with the loop in-graph and a scalar-readback fence.
+
+    `salt` is embedded as a distinct constant in the compiled program so
+    successive calls compile fresh executables (defeats the compile cache
+    when measuring compilation-to-compilation variance)."""
     import jax
     import jax.numpy as jnp
 
-    @functools.partial(jax.jit, static_argnames=("n",))
-    def loop(params, idx0, n):
+    @functools.partial(jax.jit, static_argnames=("n", "s"))
+    def loop(params, x0, n, s):
         def body(i, carry):
-            idx, acc = carry
-            rec = decode_step(params, idx)
+            x, acc = carry
+            out = step(params, x)
             # Perturb input each iteration (prevents loop-invariant hoisting)
             # and consume EVERY output element (a full-batch reduction —
             # consuming a single element lets XLA slice-propagate the whole
-            # decode down to batch size 1).
-            nxt = ((idx.astype(jnp.int32) + 1) % num_embeddings).astype(idx.dtype)
-            return nxt, acc + jnp.sum(rec)
-        _, acc = jax.lax.fori_loop(0, n, body, (idx0, jnp.float32(0)))
+            # graph down to batch size 1).
+            return perturb(x), acc + consume(out)
+        _, acc = jax.lax.fori_loop(0, n, body,
+                                   (x0, jnp.float32(s) * 0.0))
         return acc
 
-    float(loop(params, batch, 2))  # compile + warm
+    float(loop(params, batch, 2, salt))  # compile + warm
     b = batch.shape[0]
     lo, hi = max(steps // 4, 1), steps
 
     def timed(n):
         t0 = time.perf_counter()
-        float(loop(params, batch, n))  # readback fences completion
+        float(loop(params, batch, n, salt))  # readback fences completion
         return time.perf_counter() - t0
 
     # The fixed per-call cost (dispatch/transport) can exceed the device
@@ -84,32 +112,67 @@ def main() -> None:
 
     import jax.numpy as jnp
 
-    # Optimized path: bf16 compute, XLA one-hot dequantize, decoder tail
+    K = mcfg.num_embeddings
+
+    def perturb_idx(idx):
+        return ((idx.astype(jnp.int32) + 1) % K).astype(idx.dtype)
+
+    def perturb_leaves(x):
+        return jnp.abs(x * jnp.float32(0.999) + jnp.float32(1e-4))
+
+    def consume_f(out):
+        return jnp.sum(out.astype(jnp.float32))
+
+    # Optimized decode: bf16 compute, XLA one-hot dequantize, decoder tail
     # collapsed to one GEMM (ops/tail.py), b4096 (measured best on v5e).
     opt_batch = 4096 if on_tpu else 256
     steps = 512 if on_tpu else 6
     codec = VQCodec(params, mcfg, CodecConfig(batch_size=opt_batch,
                                               compute_dtype="bfloat16"))
-    idx = jnp.asarray(rng.integers(0, mcfg.num_embeddings,
-                                   (opt_batch, 4, 4, 4)).astype(np.uint8))
+    idx = jnp.asarray(rng.integers(0, K, (opt_batch, 4, 4, 4)).astype(np.uint8))
     value = _fenced_rate(codec._decode_step, params, idx, steps,
-                         mcfg.num_embeddings)
+                         perturb_idx, consume_f)
 
-    # Reference-shaped baseline: batch 64, f32, no Pallas, sequential.
+    # Optimized encode: proj folded into the quantizer score GEMM + packed
+    # strided down-conv, b8192 (measured best on v5e).
+    enc_batch = 8192 if on_tpu else 256
+    enc_codec = VQCodec(params, mcfg, CodecConfig(batch_size=enc_batch,
+                                                  compute_dtype="bfloat16"))
+    leaves = jnp.asarray(rng.random((enc_batch, 8, 8, 8, 1), np.float32))
+    encode_value = _fenced_rate(enc_codec._encode_step, params, leaves,
+                                steps // 2 if on_tpu else 4,
+                                perturb_leaves, consume_f)
+
+    # Reference-shaped baseline: batch 64, f32, no Pallas, sequential;
+    # median over fresh compilations (see module docstring).
     base = VQCodec(params, mcfg, CodecConfig(batch_size=64,
                                              compute_dtype="float32",
                                              use_pallas=False,
                                              fuse_decoder_tail=False,
                                              fuse_final_conv=False))
     idx64 = jnp.asarray(idx[:64])
-    baseline = _fenced_rate(base._decode_step, params, idx64,
-                            16384 if on_tpu else 24, mcfg.num_embeddings)
+    base_runs = [
+        _fenced_rate(base._decode_step, params, idx64,
+                     16384 if on_tpu else 24, perturb_idx, consume_f, salt=s)
+        for s in range(1, BASELINE_COMPILES + 1)
+    ]
+    baseline = statistics.median(base_runs)
+    spread = (max(base_runs) - min(base_runs)) / baseline if baseline else 0.0
 
+    peak = V5E_BF16_PEAK_TFLOPS * 1e12
     print(json.dumps({
         "metric": "decode_leaves_per_sec_per_chip",
         "value": round(value, 1),
         "unit": "leaves/s",
         "vs_baseline": round(value / baseline, 2),
+        "encode_leaves_per_sec_per_chip": round(encode_value, 1),
+        "baseline_leaves_per_sec": round(baseline, 1),
+        "baseline_runs": [round(r, 1) for r in base_runs],
+        "baseline_spread": round(spread, 3),
+        "decode_mfu": round(value * DECODE_MFLOP_PER_LEAF * 1e6 / peak, 3)
+        if on_tpu else None,
+        "encode_mfu": round(encode_value * ENCODE_MFLOP_PER_LEAF * 1e6 / peak,
+                            3) if on_tpu else None,
     }))
 
 
