@@ -2,7 +2,7 @@
 # collapses to this: the Python package needs no compilation; the native host
 # runtime is one shared library).
 
-.PHONY: all native test test-fast bench clean
+.PHONY: all native test test-fast tsan bench clean
 
 all: native
 
@@ -15,6 +15,13 @@ test: native
 test-fast: native
 	python -m pytest tests/test_format.py tests/test_native_io.py \
 	    tests/test_grid.py tests/test_pallas_quantize.py -q
+
+# Race-detection gate for the threaded native library (safety-by-
+# disjointness, checked — not just argued). Also run by the test suite.
+tsan:
+	g++ -fsanitize=thread -O1 -std=c++17 -pthread native/tsan_check.cpp \
+	    -o /tmp/vqvdb_tsan_check
+	TSAN_OPTIONS="halt_on_error=1" /tmp/vqvdb_tsan_check
 
 bench: native
 	python bench.py

@@ -74,3 +74,30 @@ def test_multichannel_scatter(rng):
     dense = native_io.scatter_leaves(leaves, origins, lo, (16, 8, 8))
     np.testing.assert_array_equal(dense[0:8], leaves[0])
     np.testing.assert_array_equal(dense[8:16], leaves[1])
+
+
+def test_tsan_clean(tmp_path):
+    """Build the TSan harness against the shipped native source and run it:
+    the library's safety-by-disjointness threading claim, checked under
+    ThreadSanitizer rather than argued in comments (SURVEY §5 race
+    detection). Skips where gcc/libtsan is unavailable."""
+    import shutil
+    import subprocess
+    from pathlib import Path
+
+    gxx = shutil.which("g++")
+    if gxx is None:
+        pytest.skip("g++ not available")
+    src = Path(__file__).resolve().parent.parent / "native" / "tsan_check.cpp"
+    exe = tmp_path / "vq_tsan"
+    build = subprocess.run(
+        [gxx, "-fsanitize=thread", "-O1", "-std=c++17", "-pthread",
+         str(src), "-o", str(exe)],
+        capture_output=True, text=True)
+    if build.returncode != 0:
+        pytest.skip(f"tsan build unavailable: {build.stderr[:200]}")
+    run = subprocess.run([str(exe)], capture_output=True, text=True,
+                         env={"TSAN_OPTIONS": "halt_on_error=1",
+                              "PATH": "/usr/bin:/bin"})
+    assert run.returncode == 0, run.stderr + run.stdout
+    assert "clean" in run.stdout
