@@ -165,3 +165,21 @@ def test_cli_export_onnx_and_torch(tmp_path):
     with torch.no_grad():
         idx = mod.encode(torch.zeros(1, 1, 8, 8, 8))
     assert tuple(idx.shape) == (1, 4, 4, 4)
+
+
+def test_embed_header_round_trip(tmp_path):
+    """bin_onnx.h-style embedding (ref: python/convert_to_header.py): the
+    emitted C arrays must reproduce the source bytes and carry the symbol
+    names OnnxBackendFactory links against."""
+    import re
+
+    from vqvdb_tpu.interop.embed import write_embed_header
+
+    payload = bytes(range(256)) * 3 + b"\x00\xff"
+    hdr = write_embed_header(tmp_path / "bin_onnx.h",
+                             {"encoder_model_data": payload})
+    text = hdr.read_text()
+    assert "const unsigned char encoder_model_data[]" in text
+    assert "const size_t encoder_model_data_size" in text
+    got = bytes(int(h, 16) for h in re.findall(r"0x([0-9a-f]{2})", text))
+    assert got == payload

@@ -349,6 +349,14 @@ def _cmd_export_onnx(args) -> int:
     params, cfg = load_model(args.model)
     paths = export_onnx(args.output_dir, params, cfg)
     result = dict(paths)
+    if args.embed_header:
+        from vqvdb_tpu.interop.embed import write_embed_header
+
+        hdr = write_embed_header(args.embed_header, {
+            "encoder_model_data": paths["encoder"],
+            "decoder_model_data": paths["decoder"],
+        })
+        result["embed_header"] = str(hdr)
     if not args.no_validate:
         import jax.numpy as jnp
 
@@ -518,6 +526,9 @@ def main(argv=None) -> int:
     pxo.add_argument("output_dir", help="directory for encoder.onnx/decoder.onnx")
     pxo.add_argument("--no-validate", action="store_true",
                      help="skip the JAX-vs-ONNX parity check")
+    pxo.add_argument("--embed-header", default=None,
+                     help="also write a bin_onnx.h-style C header embedding "
+                          "both models (reference convert_to_header.py step)")
     pxo.set_defaults(func=_cmd_export_onnx)
 
     pg = sub.add_parser("datagen", help="Generate procedural npy leaf data.")
