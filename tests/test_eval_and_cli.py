@@ -140,3 +140,27 @@ def test_cli_train_device_resident(tmp_path, capsys):
     assert rc == 0 and model_path.exists()
     hist = json.loads(model_path.with_suffix(".history.json").read_text())
     assert len(hist["loss"]) == 2
+
+
+def test_persistent_compile_cache(tmp_path, monkeypatch):
+    """CLI entry enables the persistent XLA compile cache; a second identical
+    compile must hit the on-disk cache (populated cache dir)."""
+    monkeypatch.setenv("VQVDB_COMPILE_CACHE", str(tmp_path / "xc"))
+    from vqvdb_tpu.utils.compile_cache import enable_persistent_cache
+
+    where = enable_persistent_cache()
+    assert where == str(tmp_path / "xc")
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.jit(lambda x: x * 2.0 + 1.0)(jnp.ones((8, 128))).block_until_ready()
+    cached = list((tmp_path / "xc").iterdir())
+    assert cached, "compilation cache directory not populated"
+
+
+def test_persistent_compile_cache_off(monkeypatch):
+    monkeypatch.setenv("VQVDB_COMPILE_CACHE", "off")
+    from vqvdb_tpu.utils.compile_cache import enable_persistent_cache
+
+    assert enable_persistent_cache() is None

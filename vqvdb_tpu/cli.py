@@ -405,6 +405,11 @@ def main(argv=None) -> int:
         import jax
         jax.config.update("jax_platforms", platform)
 
+    # Persistent XLA compile cache: repeat invocations skip the (remote)
+    # compile entirely. VQVDB_COMPILE_CACHE=off to disable.
+    from vqvdb_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
+
     p = argparse.ArgumentParser(prog="vqvdb_tpu",
                                 description="TPU-native VQ-VAE volume codec")
     sub = p.add_subparsers(dest="command", required=True)
