@@ -47,7 +47,7 @@ def main(out_path=None):
     def deq(idx):
         flat = idx.astype(jnp.int32).reshape(-1)
         z = dequantize(flat, params.vq.embedding.astype(cdt))
-        return z.reshape((batch, 4, 4, 4, mcfg.embedding_dim))
+        return z.reshape(idx.shape + (mcfg.embedding_dim,))
 
     w = dec["stem_conv"]["w"]  # (3,3,3,128,64)
     b = dec["stem_conv"]["b"]

@@ -93,6 +93,15 @@ class CodecConfig:
     # (exact; ops/packed.py). Only takes effect together with
     # fuse_proj_quantize (both rewrite the encode graph).
     pack_down_conv: bool = True
+    # Compute inference convs with more than this many input channels as a
+    # sum over input-channel slabs (exact up to fp reassociation;
+    # blocks.conv3d). In ISOLATION this is 2x for the 128-input decode stem
+    # (benchmarks/experiment_stem.py: 1.74 -> 0.84 ms / 4096 leaves), but in
+    # the FULL codec graphs it is a measured LOSS (benchmarks/ab_split.py,
+    # ab_split_r2.json: decode 0.96x, encode 0.89x) — XLA's full-graph
+    # scheduling already hides the wide conv's cost, and the split breaks
+    # it. Default off; same lesson as the Pallas quantizer kernels.
+    split_conv_in: int = 0
     donate_buffers: bool = True
 
     @property

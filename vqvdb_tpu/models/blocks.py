@@ -112,8 +112,30 @@ def conv3d(
     *,
     stride: int = 1,
     padding: int = 0,
+    split_in: int = 0,
 ) -> jnp.ndarray:
-    """3D convolution, NDHWC x DHWIO -> NDHWC."""
+    """3D convolution, NDHWC x DHWIO -> NDHWC.
+
+    split_in > 0 computes the conv as a sum over input-channel slabs of at
+    most that width — exact up to fp reassociation (conv is linear in
+    channels). Measured on v5e: XLA's strategy for >64-input-channel 3D
+    convs at these tiny spatial sizes runs at ~half the FLOP rate of its
+    64-input strategy (benchmarks/experiment_stem.py: the decoder's 128->64
+    stem conv drops 1.74 -> 0.84 ms/4096 leaves when split) — so inference
+    paths split wide convs; training keeps the canonical single conv.
+    """
+    cin = x.shape[-1]
+    if split_in and cin > split_in:
+        w = params["w"]
+        y = None
+        for lo in range(0, cin, split_in):
+            sl = slice(lo, min(lo + split_in, cin))
+            piece = conv3d({"w": w[..., sl, :]}, x[..., sl],
+                           stride=stride, padding=padding)
+            y = piece if y is None else y + piece
+        if "b" in params:
+            y = y + params["b"].astype(y.dtype)
+        return y
     w = params["w"].astype(x.dtype)
     y = jax.lax.conv_general_dilated(
         x,
@@ -158,13 +180,14 @@ def pixel_shuffle_3d(x: jnp.ndarray, r: int = 2) -> jnp.ndarray:
     return x.reshape(b, d * r, h * r, w * r, oc)
 
 
-def residual_block(params: Params, x: jnp.ndarray, *, groups: int = 8, scale: float = 0.1) -> jnp.ndarray:
+def residual_block(params: Params, x: jnp.ndarray, *, groups: int = 8, scale: float = 0.1,
+                   split_in: int = 0) -> jnp.ndarray:
     """Pre-activation GN residual block with scaled residual
     (ref: python/VQVAE_v2.py:190-210)."""
     h = jax.nn.relu(group_norm(params["gn1"], x, groups))
-    h = conv3d(params["conv1"], h, stride=1, padding=1)
+    h = conv3d(params["conv1"], h, stride=1, padding=1, split_in=split_in)
     h = jax.nn.relu(group_norm(params["gn2"], h, groups))
-    h = conv3d(params["conv2"], h, stride=1, padding=1)
+    h = conv3d(params["conv2"], h, stride=1, padding=1, split_in=split_in)
     return x + jnp.asarray(scale, x.dtype) * h
 
 

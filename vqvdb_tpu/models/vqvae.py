@@ -145,46 +145,56 @@ def encoder_apply(params: Params, x: jnp.ndarray, cfg: ModelConfig) -> jnp.ndarr
 
 
 def encoder_features_packed_down(params: Params, folded_down: Params,
-                                 x: jnp.ndarray, cfg: ModelConfig) -> jnp.ndarray:
+                                 x: jnp.ndarray, cfg: ModelConfig,
+                                 split_in: int = 0) -> jnp.ndarray:
     """encoder_features with the strided downsampling conv executed on the
     space-to-channel packed grid (exact identity; ops/packed.py). The
     strided conv (k4 s2 scalar / k3 s2 vec3) is the slowest encoder stage
     on v5e; as a k3 SAME conv on (4^3, C*8) it runs at MXU-friendly
-    shapes."""
+    shapes. split_in splits wide convs into input-channel slabs (exact;
+    see blocks.conv3d) — the packed conv has C*8 input channels, squarely
+    in the regime where XLA's wide-input strategy loses 2x."""
     from vqvdb_tpu.ops.packed import space_to_channel
 
     if cfg.variant == "scalar":
         h = blocks.conv3d(params["pre_conv"], x, padding=1)
         h = jax.nn.relu(blocks.group_norm(params["pre_gn"], h, 4))
         h = blocks.residual_block(params["pre_rb"], h)
-        h = blocks.conv3d(folded_down, space_to_channel(h, 2), padding=1)
+        h = blocks.conv3d(folded_down, space_to_channel(h, 2), padding=1,
+                          split_in=split_in)
         h = blocks.residual_block(params["rb"], h)
         return blocks.channel_attention(params["attn"], h)
     else:
         h = blocks.conv3d(params["pre_conv"], x, padding=1)
         h = jax.nn.relu(blocks.group_norm(params["pre_gn"], h, 8))
         h = blocks.residual_block(params["pre_rb"], h)
-        h = blocks.conv3d(folded_down, space_to_channel(h, 2), padding=1)
-        h = blocks.residual_block(params["rb1"], h)
-        h = blocks.residual_block(params["rb2"], h)
+        h = blocks.conv3d(folded_down, space_to_channel(h, 2), padding=1,
+                          split_in=split_in)
+        h = blocks.residual_block(params["rb1"], h, split_in=split_in)
+        h = blocks.residual_block(params["rb2"], h, split_in=split_in)
         return blocks.channel_attention(params["attn"], h)
 
 
-def decoder_pre_tail(params: Params, z: jnp.ndarray, cfg: ModelConfig) -> jnp.ndarray:
+def decoder_pre_tail(params: Params, z: jnp.ndarray, cfg: ModelConfig,
+                     split_in: int = 0) -> jnp.ndarray:
     """Decoder up to (excluding) up_conv: (B,4,4,4,D) -> (B,4,4,4,64|128).
 
     Everything after this point (up_conv -> shuffle -> final conv) is linear
-    and can run as one dense GEMM (ops/tail.py)."""
+    and can run as one dense GEMM (ops/tail.py). split_in splits wide convs
+    into input-channel slabs (exact; see blocks.conv3d) — the D=128-input
+    stem conv is decode's dominant stage and runs 2x faster split."""
     if cfg.variant == "scalar":
-        h = blocks.conv3d(params["stem_conv"], z, padding=1)
+        h = blocks.conv3d(params["stem_conv"], z, padding=1,
+                          split_in=split_in)
         h = jax.nn.relu(blocks.group_norm(params["stem_gn"], h, 8))
         h = blocks.residual_block(params["rb"], h)
         return blocks.channel_attention(params["attn"], h)
     else:
-        h = blocks.conv3d(params["stem_conv"], z, padding=1)
+        h = blocks.conv3d(params["stem_conv"], z, padding=1,
+                          split_in=split_in)
         h = jax.nn.relu(blocks.group_norm(params["stem_gn"], h, 8))
-        h = blocks.residual_block(params["rb1"], h)
-        h = blocks.residual_block(params["rb2"], h)
+        h = blocks.residual_block(params["rb1"], h, split_in=split_in)
+        h = blocks.residual_block(params["rb2"], h, split_in=split_in)
         return blocks.channel_attention(params["attn"], h)
 
 

@@ -155,7 +155,8 @@ class VQCodec:
 
             if self._folded_down is not None:
                 h = encoder_features_packed_down(
-                    params.encoder, self._folded_down, x, self.mcfg)
+                    params.encoder, self._folded_down, x, self.mcfg,
+                    split_in=self.ccfg.split_conv_in)
             else:
                 h = encoder_features(params.encoder, x, self.mcfg)
             flat_h = h.reshape(-1, h.shape[-1])
@@ -187,7 +188,8 @@ class VQCodec:
             from vqvdb_tpu.models.vqvae import decoder_pre_tail
             from vqvdb_tpu.ops.tail import apply_decoder_tail
 
-            h = decoder_pre_tail(params.decoder, z, self.mcfg)
+            h = decoder_pre_tail(params.decoder, z, self.mcfg,
+                                 split_in=self.ccfg.split_conv_in)
             return apply_decoder_tail(self._folded_tail, h, self.mcfg
                                       ).astype(jnp.float32)
         if self._folded_final is not None:
