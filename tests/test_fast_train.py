@@ -98,3 +98,31 @@ def test_export_checkpoint_cli(tmp_path, rng):
     from vqvdb_tpu.core.artifact import load_model
     params, cfg = load_model(out)
     assert cfg.embedding_dim == 32
+
+
+def test_levelset_family():
+    """Narrow-band level-set volumes: surface at 0.5, values in [0,1],
+    sparse outside the band, and leaves extract like any FloatGrid."""
+    from vqvdb_tpu.train.synthetic import levelset_grid, levelset_volume
+
+    v = levelset_volume(48, seed=3)
+    assert v.min() >= 0.0 and v.max() <= 1.0
+    active = v != 0.0
+    assert 0.001 < active.mean() < 0.5  # narrow band, not dense/empty
+    # both sides of the surface are represented
+    assert (v[active] > 0.5).any() and (v[active] < 0.5).any()
+    g = levelset_grid(48, seed=3)
+    assert g.leaves.shape[1:] == (8, 8, 8, 1)
+    assert g.leaves.shape[0] > 4
+
+
+def test_datagen_mixed_family(tmp_path):
+    from vqvdb_tpu.train.synthetic import make_leaf_dataset_files
+
+    paths = make_leaf_dataset_files(tmp_path, n_volumes=2, size=32,
+                                    family="mixed")
+    assert len(paths) == 2
+    import numpy as np
+    for p in paths:
+        arr = np.load(p)
+        assert arr.shape[1:] == (8, 8, 8)

@@ -388,7 +388,7 @@ def _cmd_datagen(args) -> int:
 
     paths = make_leaf_dataset_files(
         args.out_dir, n_volumes=args.volumes, size=args.size,
-        seed=args.seed, channels=args.channels)
+        seed=args.seed, channels=args.channels, family=args.family)
     total = sum(int(np.load(p, mmap_mode="r").shape[0]) for p in paths)
     print(json.dumps({"files": len(paths), "leaves": total,
                       "dir": str(args.out_dir)}))
@@ -542,6 +542,10 @@ def main(argv=None) -> int:
     pg.add_argument("--size", type=int, default=64)
     pg.add_argument("--seed", type=int, default=0)
     pg.add_argument("--channels", type=int, default=1, choices=[1, 3])
+    pg.add_argument("--family", default="smoke",
+                    choices=["smoke", "levelset", "mixed"],
+                    help="scalar volume family: fog densities, narrow-band "
+                         "level sets, or alternating")
     pg.set_defaults(func=_cmd_datagen)
 
     args = p.parse_args(argv)

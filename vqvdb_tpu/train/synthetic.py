@@ -95,8 +95,42 @@ def velocity_volume(size: int = 64, seed: int = 0) -> np.ndarray:
     return np.clip(vel, -1.0, 1.0)
 
 
+def levelset_volume(size: int = 64, seed: int = 0,
+                    half_band: float = 3.0) -> np.ndarray:
+    """Narrow-band level set, normalized to [0,1] (0.5 = surface).
+
+    Production VDB assets are predominantly narrow-band SDFs (the other
+    big FloatGrid family besides fog volumes): an implicit surface stored
+    only within +-half_band voxels of the zero crossing. Built as the SDF
+    of a union of noise-displaced spheres; voxels outside the band are 0
+    (inactive after sparsification), inside the band the distance is
+    remapped linearly so the [0,1]-ranged sigmoid-head model applies
+    unchanged — mirroring how a user would normalize SDF leaves for the
+    reference pipeline."""
+    rng = np.random.default_rng(seed)
+    shape = (size, size, size)
+    coords = np.mgrid[0:size, 0:size, 0:size].astype(np.float32)
+    sdf = np.full(shape, np.inf, np.float32)
+    for _ in range(rng.integers(2, 5)):
+        center = (0.2 + 0.6 * rng.random(3)) * size
+        radius = size * (0.12 + 0.18 * rng.random())
+        r = np.sqrt(((coords - center[:, None, None, None]) ** 2).sum(0))
+        sdf = np.minimum(sdf, r - radius)
+    sdf += (2.0 * fbm_noise(shape, rng, octaves=3, base_cell=size // 8)
+            - 1.0) * (0.05 * size)
+    band = np.abs(sdf) <= half_band
+    out = np.zeros(shape, np.float32)
+    # inside-negative convention: surface at 0.5, interior -> 1, exterior -> 0
+    out[band] = 0.5 - sdf[band] / (2.0 * half_band)
+    return out
+
+
 def smoke_grid(size: int = 64, seed: int = 0, name: str = "density") -> LeafGrid:
     return LeafGrid.from_dense(name, smoke_volume(size, seed))
+
+
+def levelset_grid(size: int = 64, seed: int = 0, name: str = "surface") -> LeafGrid:
+    return LeafGrid.from_dense(name, levelset_volume(size, seed))
 
 
 def velocity_grid(size: int = 64, seed: int = 0, name: str = "vel") -> LeafGrid:
@@ -104,9 +138,13 @@ def velocity_grid(size: int = 64, seed: int = 0, name: str = "vel") -> LeafGrid:
 
 
 def make_leaf_dataset_files(out_dir, *, n_volumes: int = 8, size: int = 64,
-                            seed: int = 0, channels: int = 1) -> list:
+                            seed: int = 0, channels: int = 1,
+                            family: str = "smoke") -> list:
     """Write npy leaf files (reference dataset convention) from procedural
-    volumes; returns the list of paths."""
+    volumes; returns the list of paths.
+
+    family: "smoke" (fog-volume densities), "levelset" (narrow-band SDFs),
+    or "mixed" (alternating) — scalar only; vec3 always uses velocity."""
     from pathlib import Path
 
     out_dir = Path(out_dir)
@@ -114,7 +152,10 @@ def make_leaf_dataset_files(out_dir, *, n_volumes: int = 8, size: int = 64,
     paths = []
     for i in range(n_volumes):
         if channels == 1:
-            g = smoke_grid(size, seed=seed + i)
+            fam = family if family != "mixed" else (
+                "levelset" if i % 2 else "smoke")
+            g = (levelset_grid if fam == "levelset" else smoke_grid)(
+                size, seed=seed + i)
             arr = g.leaves[..., 0]
         else:
             g = velocity_grid(size, seed=seed + i)
