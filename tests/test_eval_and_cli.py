@@ -142,21 +142,34 @@ def test_cli_train_device_resident(tmp_path, capsys):
     assert len(hist["loss"]) == 2
 
 
-def test_persistent_compile_cache(tmp_path, monkeypatch):
-    """CLI entry enables the persistent XLA compile cache; a second identical
-    compile must hit the on-disk cache (populated cache dir)."""
-    monkeypatch.setenv("VQVDB_COMPILE_CACHE", str(tmp_path / "xc"))
-    from vqvdb_tpu.utils.compile_cache import enable_persistent_cache
+def test_persistent_compile_cache(tmp_path):
+    """CLI entry enables the persistent XLA compile cache and a compile
+    populates the on-disk directory. Runs in a subprocess: jax initializes
+    the persistent cache once per process, so an in-process check is
+    order-dependent within the suite."""
+    import subprocess
+    import sys
 
-    where = enable_persistent_cache()
-    assert where == str(tmp_path / "xc")
-
-    import jax
-    import jax.numpy as jnp
-
-    jax.jit(lambda x: x * 2.0 + 1.0)(jnp.ones((8, 128))).block_until_ready()
-    cached = list((tmp_path / "xc").iterdir())
-    assert cached, "compilation cache directory not populated"
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu')\n"
+        "from vqvdb_tpu.utils.compile_cache import enable_persistent_cache\n"
+        "where = enable_persistent_cache()\n"
+        "assert where, 'cache not enabled'\n"
+        "import jax.numpy as jnp\n"
+        "jax.jit(lambda x: x * 2.0 + 1.0)(jnp.ones((8, 128)))"
+        ".block_until_ready()\n"
+        "import pathlib; assert list(pathlib.Path(where).iterdir()), "
+        "'cache dir empty'\n"
+        "print('cache-ok', where)\n"
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        env={"VQVDB_COMPILE_CACHE": str(tmp_path / "xc"),
+             "PATH": "/usr/bin:/bin:/usr/local/bin",
+             "PYTHONPATH": str(__import__("pathlib").Path(__file__).resolve().parent.parent)},
+    )
+    assert r.returncode == 0, r.stderr
+    assert "cache-ok" in r.stdout
 
 
 def test_persistent_compile_cache_off(monkeypatch):
