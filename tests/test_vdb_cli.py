@@ -70,3 +70,36 @@ def test_vdb_directory_ingestion(tmp_path, rng, capsys):
     assert rc == 0
     enc = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert enc["grids"] == 1 and enc["leaves"] == original.num_leaves
+
+
+def test_cli_extract_vdb_to_npy(tmp_path):
+    """extract: .vdb assets -> the reference .npy training layout, train-able
+    and losslessly re-gatherable via the origins sidecar."""
+    import subprocess
+    import sys
+
+    import numpy as np
+
+    from vqvdb_tpu.train.synthetic import smoke_grid
+    from vqvdb_tpu.vdb.grid import LeafGrid
+    from vqvdb_tpu.vdb.openvdb_io import write_vdb_leafgrids
+
+    g = smoke_grid(48, seed=9)
+    src = tmp_path / "asset.vdb"
+    write_vdb_leafgrids(src, [g])
+    out = tmp_path / "leaves"
+    r = subprocess.run(
+        [sys.executable, "-m", "vqvdb_tpu.cli", "extract", str(src),
+         str(out)],
+        capture_output=True, text=True,
+        env={"VQVDB_PLATFORM": "cpu", "PATH": "/usr/bin:/bin:/usr/local/bin"},
+    )
+    assert r.returncode == 0, r.stderr
+    files = sorted(out.glob("*.npy"))
+    leaf_files = [f for f in files if not f.name.endswith("_origins.npy")]
+    assert len(leaf_files) == 1
+    back = LeafGrid.load_npy(leaf_files[0])
+    order_a = np.lexsort(g.origins.T)
+    order_b = np.lexsort(back.origins.T)
+    np.testing.assert_array_equal(g.origins[order_a], back.origins[order_b])
+    np.testing.assert_array_equal(g.leaves[order_a], back.leaves[order_b])

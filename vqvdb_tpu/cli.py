@@ -382,6 +382,41 @@ def _cmd_export_onnx(args) -> int:
     return 0
 
 
+def _cmd_extract(args) -> int:
+    """Extract leaves from .vdb assets into the .npy training layout
+    (the reference workflow's 'extract leaves to .npy' step, ref:
+    README.md:49 — there done with external tooling; here built in).
+    Scalar and Vec3f grids are written to separate files; origins sidecars
+    are kept so extracted sets can also be re-encoded losslessly."""
+    from vqvdb_tpu.vdb.openvdb_io import read_vdb_leafgrids
+
+    out_dir = Path(args.out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    inputs = []
+    for item in args.inputs:
+        p = Path(item)
+        if p.is_dir():
+            inputs.extend(sorted(p.glob("*.vdb")))
+        else:
+            inputs.append(p)
+    if not inputs:
+        print("error: no .vdb inputs", file=sys.stderr)
+        return 2
+    written = []
+    total = 0
+    for p in inputs:
+        for g in read_vdb_leafgrids(p):
+            if args.grid and g.name != args.grid:
+                continue
+            out = out_dir / f"{p.stem}_{g.name}.npy"
+            g.save_npy(out)
+            written.append(str(out))
+            total += int(g.leaves.shape[0])
+    print(json.dumps({"files": len(written), "leaves": total,
+                      "dir": str(out_dir)}))
+    return 0 if written else 2
+
+
 def _cmd_datagen(args) -> int:
     """Generate procedural training data (npy leaf files)."""
     from vqvdb_tpu.train.synthetic import make_leaf_dataset_files
@@ -535,6 +570,14 @@ def main(argv=None) -> int:
                      help="also write a bin_onnx.h-style C header embedding "
                           "both models (reference convert_to_header.py step)")
     pxo.set_defaults(func=_cmd_export_onnx)
+
+    pxv = sub.add_parser(
+        "extract",
+        help="Extract leaves from .vdb files into npy training data.")
+    pxv.add_argument("inputs", nargs="+", help=".vdb files or directories")
+    pxv.add_argument("out_dir")
+    pxv.add_argument("--grid", default=None, help="grid name filter")
+    pxv.set_defaults(func=_cmd_extract)
 
     pg = sub.add_parser("datagen", help="Generate procedural npy leaf data.")
     pg.add_argument("out_dir")
