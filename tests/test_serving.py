@@ -101,3 +101,60 @@ def test_bad_requests(server):
 
     status, _ = _request(server, "GET", "/nope")
     assert status == 404
+
+
+def _npy_bytes(arr):
+    buf = io.BytesIO()
+    np.save(buf, arr)
+    return buf.getvalue()
+
+
+def test_microbatched_leaf_endpoints(server):
+    """Concurrent small /encode_leaves requests coalesce into shared device
+    steps and every client gets exactly its own slice back; decode_indices
+    round-trips the result."""
+    rng = np.random.default_rng(0)
+    chunks = [rng.random((3, 8, 8, 8), np.float32) for _ in range(8)]
+    results = [None] * len(chunks)
+
+    def worker(i):
+        status, data = _request(server, "POST", "/encode_leaves",
+                                _npy_bytes(chunks[i]))
+        assert status == 200, data
+        results[i] = np.load(io.BytesIO(data))
+
+    threads = [threading.Thread(target=worker, args=(i,))
+               for i in range(len(chunks))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    # Each response matches a sequential single-request encode.
+    for i, chunk in enumerate(chunks):
+        assert results[i].shape == (3, 4, 4, 4)
+        status, data = _request(server, "POST", "/encode_leaves",
+                                _npy_bytes(chunk))
+        assert status == 200
+        np.testing.assert_array_equal(results[i], np.load(io.BytesIO(data)))
+
+    # Round trip through the decode endpoint.
+    status, data = _request(server, "POST", "/decode_indices",
+                            _npy_bytes(results[0]))
+    assert status == 200
+    leaves = np.load(io.BytesIO(data))
+    assert leaves.shape == (3, 8, 8, 8, 1)
+
+    status, data = _request(server, "GET", "/stats")
+    mb = json.loads(data)["microbatch"]
+    assert mb["encode"]["steps"] >= 1
+    # 8 concurrent 3-leaf requests against a 32-leaf batch: at least some
+    # coalescing must have happened (the server is local, the window 5 ms).
+    assert mb["encode"]["coalesced"] >= 1
+
+
+def test_leaf_endpoint_rejects_bad_shape(server):
+    status, data = _request(server, "POST", "/encode_leaves",
+                            _npy_bytes(np.zeros((2, 4, 4, 4), np.float32)))
+    assert status == 400
+    assert "expected leaves" in json.loads(data)["error"]

@@ -13,9 +13,17 @@ small threaded HTTP API:
     POST /decode             -> body: .vqvdb bytes;
                                 response: .npz with {name}_leaves /
                                 {name}_origins arrays per grid
+    POST /encode_leaves      -> body: .npy leaves [N,8,8,8(,C)];
+                                response: .npy indices [N,4,4,4]
+    POST /decode_indices     -> body: .npy indices [N,4,4,4];
+                                response: .npy leaves [N,8,8,8(,C)]
 
 Device dispatch is serialized with a lock (one TPU stream); request parsing
-and response serialization run threaded. Start via
+and response serialization run threaded. The leaf-level endpoints are
+MICRO-BATCHED: concurrent small requests (a render farm's typical traffic —
+many clients, a few hundred leaves each) are coalesced into shared device
+steps up to the codec batch size instead of each paying a padded step
+(see MicroBatcher). Start via
 `python -m vqvdb_tpu.cli serve --model m.vqmodel --port 8990`.
 """
 
@@ -37,6 +45,79 @@ from vqvdb_tpu.runtime.codec import VQCodec
 from vqvdb_tpu.vdb.grid import LeafGrid
 
 
+class MicroBatcher:
+    """Coalesces concurrent requests into shared device steps.
+
+    Callers submit arrays with a shared trailing shape and block for their
+    slice of the result; a single worker drains the queue, concatenates up
+    to `batch_size` rows (waiting at most `max_wait_ms` after the first
+    pending item for stragglers), runs one step, and distributes results.
+    Large submissions simply pass through in their own step(s) — the codec
+    layer below already splits/pads. The win is the farm pattern: many
+    concurrent small requests stop paying a full padded device step each.
+    """
+
+    def __init__(self, step_fn, batch_size: int,
+                 max_wait_ms: float = 5.0) -> None:
+        self._step = step_fn
+        self.batch_size = int(batch_size)
+        self.max_wait_s = max_wait_ms / 1e3
+        self._cv = threading.Condition()
+        self._pending: list = []  # [(arr, event_dict)]
+        self.steps = 0
+        self.coalesced = 0
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    def submit(self, arr: np.ndarray) -> np.ndarray:
+        slot = {"event": threading.Event(), "out": None, "err": None}
+        with self._cv:
+            self._pending.append((arr, slot))
+            self._cv.notify()
+        slot["event"].wait()
+        if slot["err"] is not None:
+            raise slot["err"]
+        return slot["out"]
+
+    def _take_batch(self) -> list:
+        with self._cv:
+            while not self._pending:
+                self._cv.wait()
+            deadline = time.time() + self.max_wait_s
+            total = sum(a.shape[0] for a, _ in self._pending)
+            while total < self.batch_size:
+                remaining = deadline - time.time()
+                if remaining <= 0 or not self._cv.wait(timeout=remaining):
+                    break
+                total = sum(a.shape[0] for a, _ in self._pending)
+            batch, taken = [], 0
+            while self._pending and taken < self.batch_size:
+                arr, slot = self._pending.pop(0)
+                batch.append((arr, slot))
+                taken += arr.shape[0]
+            return batch
+
+    def _run(self) -> None:
+        while True:
+            batch = self._take_batch()
+            arrs = [a for a, _ in batch]
+            try:
+                out = self._step(np.concatenate(arrs, axis=0)
+                                 if len(arrs) > 1 else arrs[0])
+                self.steps += 1
+                self.coalesced += len(batch) - 1
+                off = 0
+                for arr, slot in batch:
+                    n = arr.shape[0]
+                    slot["out"] = out[off:off + n]
+                    off += n
+                    slot["event"].set()
+            except Exception as e:  # propagate to every waiter
+                for _, slot in batch:
+                    slot["err"] = e
+                    slot["event"].set()
+
+
 class CodecService:
     """Wraps a warm codec with counters and a device lock."""
 
@@ -45,10 +126,22 @@ class CodecService:
         self.codec = codec
         self.lock = threading.Lock()          # serializes device dispatch
         self.counters_lock = threading.Lock() # guards counter read-modify-write
-        self.counters = {"encode": 0, "decode": 0, "errors": 0}
+        self.counters = {"encode": 0, "decode": 0, "encode_leaves": 0,
+                         "decode_indices": 0, "errors": 0}
         self.max_body_bytes = max_body_bytes
         self.started = time.time()
         codec.check_latent_shape()  # compile + self-check up front
+
+        def _enc_step(leaves: np.ndarray) -> np.ndarray:
+            with self.lock:
+                return codec.encode_leaves(leaves)
+
+        def _dec_step(indices: np.ndarray) -> np.ndarray:
+            with self.lock:
+                return codec.decode_indices(indices)
+
+        self.encode_batcher = MicroBatcher(_enc_step, codec.ccfg.batch_size)
+        self.decode_batcher = MicroBatcher(_dec_step, codec.ccfg.batch_size)
 
     def bump(self, key: str) -> None:
         with self.counters_lock:
@@ -86,6 +179,30 @@ class CodecService:
         self.bump("decode")
         return out.getvalue()
 
+    def encode_leaves_npy(self, raw: bytes) -> bytes:
+        leaves = np.load(io.BytesIO(raw), allow_pickle=False)
+        if leaves.ndim == 4:
+            leaves = leaves[..., None]
+        if leaves.ndim != 5 or leaves.shape[1:4] != (8, 8, 8):
+            raise ValueError(f"expected leaves [N,8,8,8(,C)], got "
+                             f"{leaves.shape}")
+        idx = self.encode_batcher.submit(
+            np.ascontiguousarray(leaves, np.float32))
+        self.bump("encode_leaves")
+        out = io.BytesIO()
+        np.save(out, idx)
+        return out.getvalue()
+
+    def decode_indices_npy(self, raw: bytes) -> bytes:
+        idx = np.load(io.BytesIO(raw), allow_pickle=False)
+        if idx.ndim != 4 or idx.shape[1:] != self.codec.mcfg.latent_shape:
+            raise ValueError(f"expected indices [N,4,4,4], got {idx.shape}")
+        leaves = self.decode_batcher.submit(np.ascontiguousarray(idx))
+        self.bump("decode_indices")
+        out = io.BytesIO()
+        np.save(out, leaves)
+        return out.getvalue()
+
     def info(self) -> dict:
         return {
             "status": "ok",
@@ -104,6 +221,12 @@ class CodecService:
         return {
             "uptime_s": time.time() - self.started,
             "counters": counters,
+            "microbatch": {
+                "encode": {"steps": self.encode_batcher.steps,
+                           "coalesced": self.encode_batcher.coalesced},
+                "decode": {"steps": self.decode_batcher.steps,
+                           "coalesced": self.decode_batcher.coalesced},
+            },
             "profile": self.codec.profiler.report(),
         }
 
@@ -150,6 +273,12 @@ def make_server(service: CodecService, host: str = "127.0.0.1",
                                "application/octet-stream")
                 elif parsed.path == "/decode":
                     self._send(200, service.decode_vqvdb(raw),
+                               "application/octet-stream")
+                elif parsed.path == "/encode_leaves":
+                    self._send(200, service.encode_leaves_npy(raw),
+                               "application/octet-stream")
+                elif parsed.path == "/decode_indices":
+                    self._send(200, service.decode_indices_npy(raw),
                                "application/octet-stream")
                 else:
                     self._json(404, {"error": f"unknown path {parsed.path}"})
