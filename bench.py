@@ -124,8 +124,9 @@ def main() -> None:
         return jnp.sum(out.astype(jnp.float32))
 
     # Optimized decode: bf16 compute, XLA one-hot dequantize, decoder tail
-    # collapsed to one GEMM (ops/tail.py), b4096 (measured best on v5e).
-    opt_batch = 4096 if on_tpu else 256
+    # collapsed to one GEMM (ops/tail.py), b2048 (round-2 sweep best;
+    # benchmarks/sweep_batch_r2.json — flat 2048-4096, falling above).
+    opt_batch = 2048 if on_tpu else 256
     steps = 512 if on_tpu else 6
     codec = VQCodec(params, mcfg, CodecConfig(batch_size=opt_batch,
                                               compute_dtype="bfloat16"))
@@ -134,8 +135,9 @@ def main() -> None:
                          perturb_idx, consume_f)
 
     # Optimized encode: proj folded into the quantizer score GEMM + packed
-    # strided down-conv, b8192 (measured best on v5e).
-    enc_batch = 8192 if on_tpu else 256
+    # strided down-conv, b2048 (round-2 sweep: 1.89M at b2048 vs 1.70M at
+    # the round-1 b8192 choice).
+    enc_batch = 2048 if on_tpu else 256
     enc_codec = VQCodec(params, mcfg, CodecConfig(batch_size=enc_batch,
                                                   compute_dtype="bfloat16"))
     leaves = jnp.asarray(rng.random((enc_batch, 8, 8, 8, 1), np.float32))

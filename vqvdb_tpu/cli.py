@@ -524,7 +524,7 @@ def main(argv=None) -> int:
     ps.add_argument("--model", required=True)
     ps.add_argument("--host", default="127.0.0.1")
     ps.add_argument("--port", type=int, default=8990)
-    ps.add_argument("--batch-size", type=int, default=8192)
+    ps.add_argument("--batch-size", type=int, default=4096)
     ps.add_argument("--compute-dtype", default="bfloat16")
     ps.set_defaults(func=_cmd_serve)
 

@@ -64,7 +64,12 @@ class CodecConfig:
     platform selection, so only pipeline knobs remain.
     """
 
-    batch_size: int = 8192  # leaves per device step (ref SOP default was 64 — tiny for TPU)
+    # Leaves per device step (ref SOP default was 64 — tiny for TPU). The
+    # round-2 sweep (benchmarks/sweep_batch_r2.json) shows throughput is
+    # flat-to-falling above ~2-4k for both directions on v5e (encode
+    # b2048 1.89M > b8192 1.70M leaves/s); 4096 balances step efficiency
+    # against host round trips in the file-level pipeline.
+    batch_size: int = 4096
     compute_dtype: str = "bfloat16"  # conv compute precision on TPU
     param_dtype: str = "float32"
     # Measured on v5e with fence-robust timing (docs/ARCHITECTURE.md):
