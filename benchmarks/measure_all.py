@@ -86,23 +86,23 @@ def main(out_path=None):
                                     max(int(lo * scale), 2), max(int(hi * scale), 4)), 1)
         print(f"{name}: {results[name]:,.0f} leaves/s", file=sys.stderr)
 
-    run_decode("decode_optimized_b1024", 1024, 256, 1024,
+    run_decode("decode_optimized_b2048", 2048, 256, 1024,
                compute_dtype="bfloat16")
     run_decode("decode_reference_shaped_b64", 64, 4096, 16384,
                compute_dtype="float32", use_pallas=False,
-               fuse_final_conv=False, fuse_proj_quantize=False,
-               pack_down_conv=False)
-    run_encode("encode_optimized_b8192", 8192, 32, 128,
+               fuse_decoder_tail=False, fuse_final_conv=False,
+               fuse_proj_quantize=False, pack_down_conv=False)
+    run_encode("encode_optimized_b2048", 2048, 128, 512,
                compute_dtype="bfloat16")
     run_encode("encode_reference_shaped_b64", 64, 4096, 16384,
                compute_dtype="float32", use_pallas=False,
-               fuse_final_conv=False, fuse_proj_quantize=False,
-               pack_down_conv=False)
+               fuse_decoder_tail=False, fuse_final_conv=False,
+               fuse_proj_quantize=False, pack_down_conv=False)
 
     results["decode_vs_baseline"] = round(
-        results["decode_optimized_b1024"] / results["decode_reference_shaped_b64"], 2)
+        results["decode_optimized_b2048"] / results["decode_reference_shaped_b64"], 2)
     results["encode_vs_baseline"] = round(
-        results["encode_optimized_b8192"] / results["encode_reference_shaped_b64"], 2)
+        results["encode_optimized_b2048"] / results["encode_reference_shaped_b64"], 2)
 
     out = json.dumps(results, indent=2)
     print(out)
