@@ -9,6 +9,12 @@ Opt out with VQVDB_COMPILE_CACHE=off; point elsewhere with
 VQVDB_COMPILE_CACHE=/path. The reference has no analogous concern (ORT
 sessions deserialize pre-built graphs; our equivalent of its "embedded
 model" startup cost is exactly this cache).
+
+Caveat: cached CPU executables are AOT artifacts tied to the compiling
+machine's ISA features; jax detects mismatches at load (logs a warning and
+may refuse the entry). Do not share the cache directory between
+heterogeneous hosts — it defaults under $XDG_CACHE_HOME, which is
+per-machine in sane setups.
 """
 
 from __future__ import annotations
