@@ -56,9 +56,12 @@ def _fenced_rate(step, params, batch, steps: int, perturb, consume,
                  salt: int = 0):
     """leaves/sec with the loop in-graph and a scalar-readback fence.
 
-    `salt` is embedded as a distinct constant in the compiled program so
-    successive calls compile fresh executables (defeats the compile cache
-    when measuring compilation-to-compilation variance)."""
+    `salt` is embedded as a distinct constant in the compiled program (the
+    accumulator's initial value — the fence discards the result, so the
+    bias is harmless) so successive calls produce distinct HLO and compile
+    fresh executables even under an HLO-keyed persistent compile cache.
+    NB: an expression like `jnp.float32(s) * 0.0` would NOT work — s is
+    static, so it constant-folds to the same 0.0 at trace time."""
     import jax
     import jax.numpy as jnp
 
@@ -72,8 +75,7 @@ def _fenced_rate(step, params, batch, steps: int, perturb, consume,
             # consuming a single element lets XLA slice-propagate the whole
             # graph down to batch size 1).
             return perturb(x), acc + consume(out)
-        _, acc = jax.lax.fori_loop(0, n, body,
-                                   (x0, jnp.float32(s) * 0.0))
+        _, acc = jax.lax.fori_loop(0, n, body, (x0, jnp.float32(s)))
         return acc
 
     float(loop(params, batch, 2, salt))  # compile + warm

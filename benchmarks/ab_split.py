@@ -27,13 +27,16 @@ def _rate(step, params, batch, lo, hi, perturb, consume, salt):
     import jax
     import jax.numpy as jnp
 
+    # Salt as the accumulator's init value: a real HLO constant (the fence
+    # discards the result), so each salt compiles fresh even under an
+    # HLO-keyed cache; `jnp.float32(s) * 0.0` would constant-fold away.
     @functools.partial(jax.jit, static_argnames=("n", "s"))
     def loop(p, x0, n, s):
         def body(_, carry):
             x, acc = carry
             out = step(p, x)
             return perturb(x), acc + consume(out)
-        _, acc = jax.lax.fori_loop(0, n, body, (x0, jnp.float32(s) * 0.0))
+        _, acc = jax.lax.fori_loop(0, n, body, (x0, jnp.float32(s)))
         return acc
 
     float(loop(params, batch, 2, salt))

@@ -35,11 +35,16 @@ class BBoxI:
 
 
 class _BasePrim:
+    """Mirrors the real hou.Prim attribute model: no findAttrib on the
+    prim — the 'name' attribute is discovered via the owning geometry's
+    findPrimAttrib and read with prim.attribValue."""
+
     def __init__(self, name):
         self._name = name
+        self._geo = None  # set by FakeGeometry
 
-    def findAttrib(self, name):
-        return name == "name"
+    def geometry(self):
+        return self._geo
 
     def attribValue(self, name):
         assert name == "name"
@@ -93,9 +98,14 @@ class FakeVolume(_BasePrim):
 class FakeGeometry:
     def __init__(self, prims=(), leafgrids=(), fail_save=False):
         self._prims = list(prims)
+        for pr in self._prims:
+            pr._geo = self
         self._leafgrids = list(leafgrids)  # backing store for saveToFile
         self._fail_save = fail_save
         self.loaded_files = []
+
+    def findPrimAttrib(self, name):
+        return object() if name == "name" else None
 
     def prims(self):
         return list(self._prims)
@@ -112,7 +122,9 @@ class FakeGeometry:
 
         self.loaded_files.append(path)
         for g in read_vdb_leafgrids(path):
-            self._prims.append(FakeVDB(g))
+            prim = FakeVDB(g)
+            prim._geo = self
+            self._prims.append(prim)
 
 
 class FakeNode:

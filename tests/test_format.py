@@ -181,3 +181,22 @@ def test_exit_after_exception_does_not_mask(tmp_path):
             w.start_grid(GridMetadata("a", num_embeddings=256,
                                       latent_shape=(4, 4, 4), total_blocks=5))
             raise KeyError("boom")
+
+
+def test_writer_close_releases_handle_on_mismatch(tmp_path):
+    """A close() that raises the declared-vs-written consistency error must
+    still release the file handle (no fd leak, no re-raise on retry)."""
+    import numpy as np
+
+    from vqvdb_tpu.format.vqvdb import FormatError, VqvdbWriter
+
+    path = tmp_path / "bad.vqvdb"
+    w = VqvdbWriter(path)
+    w.start_grid(GridMetadata("g", num_embeddings=256,
+                              latent_shape=(4, 4, 4), total_blocks=5))
+    w.write_batch(np.zeros((2, 4, 4, 4), np.uint8),
+                  np.zeros((2, 3), np.int32))
+    with pytest.raises(FormatError):
+        w.close()
+    assert w._f is None  # handle released despite the raise
+    w.close()  # second close is a clean no-op

@@ -308,3 +308,16 @@ def test_transform_survives(tmp_path, rng):
     write_vdb(path, [g])
     (r,) = read_vdb(path)
     np.testing.assert_array_equal(r.transform, mat)
+
+
+def test_vec3_grid_scalar_background_default():
+    """VdbGrid's 0.0 default background must broadcast for vec3s grids."""
+    import numpy as np
+
+    from vqvdb_tpu.vdb.openvdb_io import VdbGrid
+
+    g = VdbGrid(name="v", value_type="vec3s",
+                origins=np.zeros((1, 3), np.int32),
+                leaves=np.zeros((1, 8, 8, 8, 3), np.float32))
+    assert g.background.shape == (3,)
+    np.testing.assert_array_equal(g.background, np.zeros(3, np.float32))

@@ -133,3 +133,22 @@ def test_mesh_codec_rejects_indivisible_batch(mesh):
     params = init_vqvae_params(jax.random.key(4), cfg)
     with pytest.raises(ValueError, match="divide evenly"):
         VQCodec(params, cfg, CodecConfig(batch_size=12), mesh=mesh)
+
+
+def test_sharded_codec_latent_probe():
+    """check_latent_shape must work on a mesh-backed codec (the probe batch
+    is sized/sharded to the mesh; a 1-leaf probe would fail shard_map's
+    divisibility check). Regression for the serving-startup crash."""
+    import jax
+
+    from vqvdb_tpu.core.config import CodecConfig, ModelConfig
+    from vqvdb_tpu.parallel.mesh import make_mesh
+    from vqvdb_tpu.runtime.codec import VQCodec
+
+    mcfg = ModelConfig(embedding_dim=32, num_embeddings=64)
+    params = init_vqvae_params(jax.random.key(0), mcfg)
+    mesh = make_mesh(len(jax.devices()))
+    codec = VQCodec(params, mcfg,
+                    CodecConfig(batch_size=4 * len(jax.devices()),
+                                compute_dtype="float32"), mesh=mesh)
+    assert codec.check_latent_shape() == (4, 4, 4)

@@ -404,11 +404,19 @@ def _cmd_extract(args) -> int:
         return 2
     written = []
     total = 0
+    used = set()
     for p in inputs:
         for g in read_vdb_leafgrids(p):
             if args.grid and g.name != args.grid:
                 continue
-            out = out_dir / f"{p.stem}_{g.name}.npy"
+            # Duplicate grid names within a file are legal in OpenVDB;
+            # never silently overwrite an earlier extraction.
+            stem, k = f"{p.stem}_{g.name}", 2
+            while stem in used:
+                stem = f"{p.stem}_{g.name}_{k}"
+                k += 1
+            used.add(stem)
+            out = out_dir / f"{stem}.npy"
             g.save_npy(out)
             written.append(str(out))
             total += int(g.leaves.shape[0])

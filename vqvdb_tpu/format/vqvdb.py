@@ -234,22 +234,26 @@ class VqvdbWriter:
         # end_grid() is optional for callers, but its consistency check is
         # not: a declared-vs-written mismatch caught here fails at write
         # time instead of surfacing later as a reader truncation error.
-        if self._grid_open:
-            self.end_grid()
+        # The handle is released either way — a raising close() must not
+        # leak the fd or leave a re-raising half-closed writer behind.
         f = self._f
-        if self._num_grids > 0:
-            f.seek(0)
-            f.write(
-                _HEADER_STRUCT.pack(
-                    MAGIC,
-                    self.version,
-                    self._num_grids,
-                    self._shared_num_embeddings,
-                    self._shared_latent_dim_count,
+        try:
+            if self._grid_open:
+                self.end_grid()
+            if self._num_grids > 0:
+                f.seek(0)
+                f.write(
+                    _HEADER_STRUCT.pack(
+                        MAGIC,
+                        self.version,
+                        self._num_grids,
+                        self._shared_num_embeddings,
+                        self._shared_latent_dim_count,
+                    )
                 )
-            )
-        f.close()
-        self._f = None
+        finally:
+            f.close()
+            self._f = None
 
     def _require_open(self) -> io.BufferedWriter:
         if self._f is None:

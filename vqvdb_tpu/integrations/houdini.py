@@ -47,12 +47,19 @@ from vqvdb_tpu.vdb.grid import LeafGrid
 # ---------------------------------------------------------------------------
 
 def _prim_name(prim, default: str = "density") -> str:
+    # The grid name lives in the 'name' primitive attribute; on real
+    # hou.Prim the attribute is looked up via the owning geometry
+    # (Geometry.findPrimAttrib) — there is no prim.findAttrib.
     try:
-        if prim.findAttrib is not None and prim.findAttrib("name"):
+        geo = prim.geometry()
+        if geo is not None and geo.findPrimAttrib("name") is not None:
             return prim.attribValue("name") or default
     except Exception:
         pass
-    return default
+    try:
+        return prim.attribValue("name") or default
+    except Exception:
+        return default
 
 
 def _grids_via_geo_file(geo) -> List[LeafGrid]:
@@ -78,6 +85,14 @@ def _dense_from_vdb_prim(prim, hou) -> Optional[LeafGrid]:
     res = (hi - lo + 1).astype(int)
     if np.any(res <= 0):
         return None
+    # Dense sampling materializes the whole active bbox; a sparse grid
+    # spanning a large index box would allocate res^3 floats. Refuse
+    # beyond ~512 MB rather than taking down the Houdini session.
+    if int(np.prod(res)) > 512 ** 3:
+        raise ValueError(
+            f"VDB prim '{_prim_name(prim)}' active bbox {tuple(res)} is too "
+            "large to sample densely; re-save the asset with zip (non-blosc) "
+            "VDB compression so the sparse file bridge can read it")
     name = _prim_name(prim)
     if hasattr(prim, "voxelRangeAsVector3") and _is_vector_vdb(prim):
         flat = np.asarray(prim.voxelRangeAsVector3(bbox), np.float32)
@@ -124,8 +139,13 @@ def _grids_from_hou_node(node) -> List[LeafGrid]:
         grids = _grids_via_geo_file(geo)
         if grids:
             return grids
-    except Exception:
-        pass  # e.g. blosc-compressed save; fall through to direct sampling
+    except Exception as e:
+        # e.g. blosc-compressed save (Houdini's default); fall through to
+        # direct sampling — but say so instead of hiding reader bugs.
+        import sys
+
+        print(f"vqvdb: sparse .vdb bridge failed ({type(e).__name__}: {e}); "
+              "falling back to dense prim sampling", file=sys.stderr)
 
     grids = []
     for prim in geo.prims():

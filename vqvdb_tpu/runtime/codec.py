@@ -202,8 +202,16 @@ class VQCodec:
 
     # -- latent-shape self-check (probe, ref cold path 3.3) --------------
     def check_latent_shape(self) -> Tuple[int, ...]:
-        probe = jnp.zeros((1, LEAF_DIM, LEAF_DIM, LEAF_DIM, self.mcfg.in_channels),
+        # A mesh-backed encode shards the batch axis, so the probe batch
+        # must be divisible by the mesh size (a 1-leaf probe would fail
+        # shard_map's divisibility check on any multi-device mesh).
+        n = self.mesh.devices.size if self.mesh is not None else 1
+        probe = jnp.zeros((n, LEAF_DIM, LEAF_DIM, LEAF_DIM, self.mcfg.in_channels),
                           jnp.float32)
+        if self.mesh is not None:
+            from vqvdb_tpu.parallel.mesh import shard_batch
+
+            probe = shard_batch(probe, self.mesh)
         out = self._encode_jit(self.params, probe)
         got = tuple(out.shape[1:])
         if got != self.mcfg.latent_shape:

@@ -183,8 +183,13 @@ class CodecService:
         leaves = np.load(io.BytesIO(raw), allow_pickle=False)
         if leaves.ndim == 4:
             leaves = leaves[..., None]
-        if leaves.ndim != 5 or leaves.shape[1:4] != (8, 8, 8):
-            raise ValueError(f"expected leaves [N,8,8,8(,C)], got "
+        # Validate fully BEFORE enqueueing: a malformed item would fail
+        # inside the shared MicroBatcher step and poison every co-batched
+        # request.
+        want_c = self.codec.mcfg.in_channels
+        if (leaves.ndim != 5 or leaves.shape[1:4] != (8, 8, 8)
+                or leaves.shape[4] != want_c):
+            raise ValueError(f"expected leaves [N,8,8,8,{want_c}], got "
                              f"{leaves.shape}")
         idx = self.encode_batcher.submit(
             np.ascontiguousarray(leaves, np.float32))

@@ -165,8 +165,13 @@ class VdbGrid:
         if self.transform is None:
             self.transform = np.eye(4, dtype=np.float64)
         self.transform = np.asarray(self.transform, np.float64).reshape(4, 4)
-        self.background = np.asarray(self.background, np.float32).reshape(
-            () if self.value_type == "float" else (3,))
+        bg = np.asarray(self.background, np.float32)
+        want = () if self.value_type == "float" else (3,)
+        if bg.size == 1:
+            # Broadcast a scalar (e.g. the dataclass's 0.0 default) for
+            # vec3s grids instead of failing the reshape.
+            bg = np.full(want, bg.reshape(()), np.float32)
+        self.background = bg.reshape(want)
         if self.leaf_masks is None:
             self.leaf_masks = np.full(
                 (self.origins.shape[0], LEAF_SIZE // 8), 0xFF, np.uint8)
