@@ -60,9 +60,12 @@ def encode(
     batch_size: int = 4096,
     name_filter: Optional[str] = None,
     progress: bool = False,
+    format_version: Optional[int] = None,
 ) -> dict:
     """Compress grids to a `.vqvdb` file (SOP encoder cook semantics,
-    ref: SOP_VQVDB_Encoder.cpp:84-141)."""
+    ref: SOP_VQVDB_Encoder.cpp:84-141). format_version: None = auto
+    (v3, or v4 for K>256); 5 = compressed-payload extension (~1.5x
+    smaller files, not readable by the reference runtime)."""
     codec = model if isinstance(model, VQCodec) else make_codec(
         model, batch_size=batch_size)
     if isinstance(grids, LeafGrid):
@@ -71,7 +74,8 @@ def encode(
         grids = [g for g in grids if g.name == name_filter]
         if not grids:
             raise ValueError(f"no grid named {name_filter!r}")
-    return codec.compress(list(grids), out_path, progress=progress)
+    return codec.compress(list(grids), out_path, progress=progress,
+                          format_version=format_version)
 
 
 def decode(

@@ -136,7 +136,8 @@ def _cmd_encode(args) -> int:
     codec = api.make_codec(args.model, batch_size=args.batch_size,
                            compute_dtype=args.compute_dtype,
                            data_parallel=args.data_parallel)
-    stats = api.encode(grids, codec, args.output, progress=args.verbose)
+    stats = api.encode(grids, codec, args.output, progress=args.verbose,
+                       format_version=args.format_version)
     print(json.dumps({"grids": len(grids), **{k: round(v, 2) if isinstance(v, float)
                                               else v for k, v in stats.items()}}))
     return 0
@@ -488,6 +489,11 @@ def main(argv=None) -> int:
     pe.add_argument("--compute-dtype", default="bfloat16")
     pe.add_argument("--data-parallel", action="store_true",
                     help="shard each device step over all local devices")
+    pe.add_argument("--format-version", type=int, default=None,
+                    choices=[3, 4, 5],
+                    help="container version: default auto (3, or 4 for "
+                         "K>256); 5 adds payload compression (~1.5x "
+                         "smaller, not readable by the reference runtime)")
     pe.add_argument("-v", "--verbose", action="store_true")
     pe.set_defaults(func=_cmd_encode)
 
@@ -600,7 +606,10 @@ def main(argv=None) -> int:
     pg.set_defaults(func=_cmd_datagen)
 
     args = p.parse_args(argv)
-    return args.func(args)
+    try:
+        return args.func(args)
+    except BrokenPipeError:
+        return 0  # e.g. `vqvdb info ... | head` closing stdout early
 
 
 if __name__ == "__main__":
