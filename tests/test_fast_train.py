@@ -126,3 +126,36 @@ def test_datagen_mixed_family(tmp_path):
     for p in paths:
         arr = np.load(p)
         assert arr.shape[1:] == (8, 8, 8)
+
+
+def test_device_resident_mesh_matches_single_device():
+    """Data-parallel device-resident training must reproduce the
+    single-device run on the same global batches (replicated data + shared
+    permutation + psum'd grads/EMA): the N-chip == 1-chip invariant,
+    extended to the fast trainer."""
+    import jax
+    import numpy as np
+
+    from vqvdb_tpu.core.config import ModelConfig
+    from vqvdb_tpu.parallel.mesh import make_mesh
+    from vqvdb_tpu.train.fast import train_on_device
+    from vqvdb_tpu.train.train import TrainConfig
+
+    mcfg = ModelConfig(embedding_dim=16, num_embeddings=32)
+    n_dev = len(jax.devices())
+    tcfg = TrainConfig(epochs=3, batch_size=8 * n_dev,
+                       compute_dtype="float32", dead_code_interval=2)
+    rng = np.random.default_rng(0)
+    leaves = rng.random((8 * n_dev * 3 + 5, 8, 8, 8, 1), np.float32)
+
+    s1, t1 = train_on_device(leaves, mcfg, tcfg, log_fn=lambda *a: None)
+    sN, tN = train_on_device(leaves, mcfg, tcfg, mesh=make_mesh(n_dev),
+                             log_fn=lambda *a: None)
+
+    # Equivalence is modulo f32 reduction order (global-batch mean vs
+    # pmean of shard means): observed max abs drift ~3e-6 after 3 epochs.
+    np.testing.assert_allclose(tN, t1, rtol=1e-3, atol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(sN.params)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-3, atol=1e-5)

@@ -58,11 +58,18 @@ def _cmd_train(args) -> int:
         # fast path for datasets that fit device memory.
         from vqvdb_tpu.train.fast import train_on_device
 
+        mesh = None
+        if args.data_parallel:
+            from vqvdb_tpu.parallel.mesh import make_mesh
+            mesh = make_mesh()
+            print(f"data-parallel device-resident over "
+                  f"{mesh.devices.size} devices")
         leaves = ds.gather(np.arange(len(ds)))
         ckpt_dir = args.checkpoint_dir or str(Path(args.model_path).parent / "ckpts")
         state, trace = train_on_device(leaves, mcfg, tcfg,
                                        checkpoint_dir=ckpt_dir,
-                                       resume=not args.no_resume)
+                                       resume=not args.no_resume,
+                                       mesh=mesh)
         history = {"loss": trace[:, 0].tolist(), "recon": trace[:, 1].tolist(),
                    "vq": trace[:, 2].tolist(), "perplexity": trace[:, 3].tolist()}
     else:

@@ -32,21 +32,40 @@ METRIC_KEYS = ("loss", "recon_err", "vq_loss", "perplexity")
 
 
 def make_device_epoch_runner(opt, mcfg: ModelConfig, tcfg: TrainConfig,
-                             n_train: int):
+                             n_train: int, mesh=None):
     """Build run(state, data, key, epochs) -> (state, metrics[epochs, 4]).
 
     data: [N, 8, 8, 8, C] on device; only the first
     (N // batch_size) * batch_size leaves are touched per epoch (shuffled).
+
+    With a mesh, the whole epoch program runs shard_mapped over the data
+    axis: the dataset and shuffle key are replicated (these leaf datasets
+    are small next to HBM — module docstring), every shard computes the
+    SAME global permutation and takes its disjoint slice of each global
+    batch, and train_step pmean/psums grads + EMA statistics. The result is
+    bit-equivalent (mod f32 reduction order) to the single-chip run on the
+    same global batches — the repo's N-chip == 1-chip invariant, kept for
+    the fast trainer and verified in tests/test_fast_train.py.
     """
     bs = tcfg.batch_size
     steps_per_epoch = n_train // bs
     if steps_per_epoch == 0:
         raise ValueError(f"batch_size {bs} exceeds dataset size {n_train}")
 
-    @functools.partial(jax.jit, static_argnames=("epochs",),
-                       donate_argnums=(0,))
-    def run(state: TrainState, data: jnp.ndarray, key: jnp.ndarray,
-            epochs: int):
+    n_dev = 1 if mesh is None else int(mesh.devices.size)
+    if bs % n_dev:
+        raise ValueError(f"batch_size {bs} not divisible by mesh size {n_dev}")
+    bs_local = bs // n_dev
+    axis = None
+    if mesh is not None:
+        from vqvdb_tpu.parallel.mesh import DATA_AXIS
+
+        axis = DATA_AXIS
+
+    def epochs_fn(state: TrainState, data: jnp.ndarray, key: jnp.ndarray,
+                  epochs: int):
+        rank = 0 if axis is None else jax.lax.axis_index(axis)
+
         def epoch_body(e, carry):
             state, key, trace = carry
             key, kperm = jax.random.split(key)
@@ -54,9 +73,11 @@ def make_device_epoch_runner(opt, mcfg: ModelConfig, tcfg: TrainConfig,
 
             def step_body(i, carry2):
                 state, acc = carry2
-                idx = jax.lax.dynamic_slice(perm, (i * bs,), (bs,))
+                idx = jax.lax.dynamic_slice(
+                    perm, (i * bs + rank * bs_local,), (bs_local,))
                 batch = jnp.take(data, idx, axis=0)
-                state, metrics, _ = train_step(state, batch, opt, mcfg, tcfg)
+                state, metrics, _ = train_step(state, batch, opt, mcfg, tcfg,
+                                               axis_name=axis)
                 acc = acc + jnp.stack([metrics[k].astype(jnp.float32)
                                        for k in METRIC_KEYS])
                 return state, acc
@@ -72,7 +93,34 @@ def make_device_epoch_runner(opt, mcfg: ModelConfig, tcfg: TrainConfig,
             0, epochs, epoch_body, (state, key, trace0))
         return state, trace
 
-    return run
+    if mesh is None:
+        @functools.partial(jax.jit, static_argnames=("epochs",),
+                           donate_argnums=(0,))
+        def run(state, data, key, epochs):
+            return epochs_fn(state, data, key, epochs)
+
+        return run
+
+    from jax.sharding import PartitionSpec as P
+
+    try:
+        from jax.experimental.shard_map import shard_map
+    except ImportError:  # newer jax
+        from jax.shard_map import shard_map  # type: ignore
+
+    @functools.partial(jax.jit, static_argnames=("epochs",),
+                       donate_argnums=(0,))
+    def run_sharded(state, data, key, epochs):
+        mapped = shard_map(
+            functools.partial(epochs_fn, epochs=epochs),
+            mesh=mesh,
+            in_specs=(P(), P(), P()),
+            out_specs=(P(), P()),
+            check_rep=False,
+        )
+        return mapped(state, data, key)
+
+    return run_sharded
 
 
 def train_on_device(
@@ -83,6 +131,7 @@ def train_on_device(
     init_state: Optional[TrainState] = None,
     checkpoint_dir: Optional[str] = None,
     resume: bool = True,
+    mesh=None,
     log_fn=print,
 ) -> Tuple[TrainState, np.ndarray]:
     """Full device-resident training driver.
@@ -119,7 +168,7 @@ def train_on_device(
                 done = int(step0) // steps_per_epoch
                 log_fn(f"[fast-train] resumed at epoch {done} (step {step0})")
 
-    run = make_device_epoch_runner(opt, mcfg, tcfg, n)
+    run = make_device_epoch_runner(opt, mcfg, tcfg, n, mesh=mesh)
     data = jnp.asarray(leaves)
     key = jax.random.key(tcfg.seed + 1)
     reset_key = jax.random.key(tcfg.seed + 2)
