@@ -96,12 +96,14 @@ class FakeVolume(_BasePrim):
 
 
 class FakeGeometry:
-    def __init__(self, prims=(), leafgrids=(), fail_save=False):
+    def __init__(self, prims=(), leafgrids=(), fail_save=False,
+                 houdini_default_save=False):
         self._prims = list(prims)
         for pr in self._prims:
             pr._geo = self
         self._leafgrids = list(leafgrids)  # backing store for saveToFile
         self._fail_save = fail_save
+        self._houdini_default_save = houdini_default_save
         self.loaded_files = []
 
     def findPrimAttrib(self, name):
@@ -112,10 +114,17 @@ class FakeGeometry:
 
     def saveToFile(self, path):
         if self._fail_save:
-            raise RuntimeError("simulated blosc-compressed save")
-        from vqvdb_tpu.vdb.openvdb_io import write_vdb_leafgrids
+            raise RuntimeError("simulated broken save")
+        from vqvdb_tpu.vdb.openvdb_io import (
+            COMPRESS_ACTIVE_MASK, COMPRESS_BLOSC, write_vdb_leafgrids)
 
-        write_vdb_leafgrids(path, self._leafgrids)
+        if self._houdini_default_save:
+            # Houdini's out-of-the-box VDB save: blosc codec + 16-bit floats.
+            write_vdb_leafgrids(
+                path, self._leafgrids,
+                compression=COMPRESS_BLOSC | COMPRESS_ACTIVE_MASK, half=True)
+        else:
+            write_vdb_leafgrids(path, self._leafgrids)
 
     def loadFromFile(self, path):
         from vqvdb_tpu.vdb.openvdb_io import read_vdb_leafgrids

@@ -117,7 +117,40 @@ def test_cli_info_reports_v4(tmp_path, capsys):
     info = json.loads(capsys.readouterr().out)
     assert info["version"] == 4
     assert info["num_embeddings"] == 4096
-    assert info["grids"][0]["compressed_leaf_bytes"] == 12 + 64 * 2
+    assert info["grids"][0]["chunk_bytes"] == 12 + 64 * 2
+    assert info["grids"][0]["payload_bytes"] == 2 * (12 + 64 * 2)
+    assert "payload_codec" not in info["grids"][0]
+
+
+def test_cli_info_reports_v5_payload(tmp_path, capsys):
+    """On v5 files `info` must surface the real stored payload size and the
+    codec, not the uncompressed chunk size (round-2 VERDICT weak #4)."""
+    import numpy as np
+
+    from vqvdb_tpu.format.vqvdb import GridMetadata, VqvdbWriter
+
+    path = tmp_path / "c.vqvdb"
+    n = 64
+    idx = np.zeros((n, 4, 4, 4), np.uint8)  # compresses hard
+    origins = np.zeros((n, 3), np.int32)
+    origins[:, 0] = np.arange(n) * 8
+    with VqvdbWriter(path, version=5, compression="zlib") as w:
+        w.start_grid(GridMetadata("g", num_embeddings=256,
+                                  latent_shape=(4, 4, 4), total_blocks=n))
+        w.write_batch(idx, origins)
+        w.end_grid()
+    rc = cli_main(["info", str(path)])
+    assert rc == 0
+    info = json.loads(capsys.readouterr().out)
+    g = info["grids"][0]
+    assert info["version"] == 5
+    assert g["payload_codec"] == "zlib"
+    assert g["chunk_bytes"] == 12 + 64
+    # The stored payload is the compressed frames — far below n*chunk.
+    assert 0 < g["payload_bytes"] < n * (12 + 64)
+    assert g["frame_compression"] > 1.0
+    # info leaves the reader positioned correctly: totals consistent.
+    assert g["total_blocks"] == n
 
 
 def test_cli_errors(tmp_path, capsys):

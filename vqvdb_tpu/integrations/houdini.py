@@ -17,11 +17,16 @@ In-Houdini data exchange uses two bridges, most robust first:
      into the node. Mirrors the reference's loadGrid /
      GU_PrimVDB::buildFromGrid endpoints (SOP_VQVDB_Encoder.cpp:115-129,
      SOP_VQVDB_Decoder.cpp:109-114).
-  2. Voxel-sampling fallback: if Houdini saved the temp file with a
-     compression codec this host can't decode (blosc), VDB prims are read
-     through `hou.VDB.activeVoxelBoundingBox()` + `voxelRangeAsFloat()`
-     (dense over the active bbox, then sparsified), and `hou.Volume` prims
-     through `resolution()` + `allVoxels()`.
+  2. Voxel-sampling fallback: if the file bridge fails for a reason the
+     reader can't handle (an exotic tree configuration, a future format
+     revision), VDB prims are read through
+     `hou.VDB.activeVoxelBoundingBox()` + `voxelRangeAsFloat()` (dense
+     over the active bbox, then sparsified), and `hou.Volume` prims
+     through `resolution()` + `allVoxels()`. Houdini's default save
+     settings (blosc compression, 16-bit floats) are handled natively by
+     the primary bridge (vdb/blosc.py, half-float framing in
+     vdb/openvdb_io.py), so the fallback is a safety net, not the
+     production path.
 
 Both cooks degrade gracefully outside Houdini (node=None): they accept /
 return LeafGrids, so the module doubles as the reference's verb layer for
@@ -91,8 +96,8 @@ def _dense_from_vdb_prim(prim, hou) -> Optional[LeafGrid]:
     if int(np.prod(res)) > 512 ** 3:
         raise ValueError(
             f"VDB prim '{_prim_name(prim)}' active bbox {tuple(res)} is too "
-            "large to sample densely; re-save the asset with zip (non-blosc) "
-            "VDB compression so the sparse file bridge can read it")
+            "large to sample densely — and the sparse file bridge already "
+            "failed; report its error, that path handles large grids")
     name = _prim_name(prim)
     if hasattr(prim, "voxelRangeAsVector3") and _is_vector_vdb(prim):
         flat = np.asarray(prim.voxelRangeAsVector3(bbox), np.float32)
@@ -140,8 +145,8 @@ def _grids_from_hou_node(node) -> List[LeafGrid]:
         if grids:
             return grids
     except Exception as e:
-        # e.g. blosc-compressed save (Houdini's default); fall through to
-        # direct sampling — but say so instead of hiding reader bugs.
+        # Unhandled tree/format configuration; fall through to direct
+        # sampling — but say so instead of hiding reader bugs.
         import sys
 
         print(f"vqvdb: sparse .vdb bridge failed ({type(e).__name__}: {e}); "

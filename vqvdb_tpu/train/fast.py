@@ -103,10 +103,9 @@ def make_device_epoch_runner(opt, mcfg: ModelConfig, tcfg: TrainConfig,
 
     from jax.sharding import PartitionSpec as P
 
-    try:
-        from jax.experimental.shard_map import shard_map
-    except ImportError:  # newer jax
-        from jax.shard_map import shard_map  # type: ignore
+    shard_map = getattr(jax, "shard_map", None)
+    if shard_map is None:  # pre-0.8 jax
+        from jax.experimental.shard_map import shard_map  # type: ignore
 
     @functools.partial(jax.jit, static_argnames=("epochs",),
                        donate_argnums=(0,))

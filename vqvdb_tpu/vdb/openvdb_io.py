@@ -53,10 +53,18 @@ written by OpenVDB 3.2 through 11.x):
 Compressed value arrays (io/Compression.h semantics): with ACTIVE_MASK the
 stream stores a per-node metadata byte that classifies inactive values
 (background / -background / one or two distinct values selected by a stored
-mask / no compression), then only the active values; with ZIP each value
-payload is framed as {int64 n; n>0: n zlib bytes, n<=0: -n raw bytes}.
-BLOSC-compressed files (flag 4) are rejected with a clear error — this host
-has no blosc; re-save such assets with ZIP compression.
+mask / no compression), then only the active values; with ZIP or BLOSC each
+value payload is framed as {int64 n; n>0: n compressed bytes, n<=0: -n raw
+bytes}, zlib-deflate for ZIP and a c-blosc1 chunk for BLOSC (the default
+codec of Houdini and blosc-built OpenVDB; implemented spec-derived in
+vdb/blosc.py — blosc payloads may decode slightly long because the OpenVDB
+writer zero-pads sub-128-byte inputs).
+
+Half-float grids: the `_HalfFloat` grid-type suffix and/or the
+`is_saved_as_half_float` metadata flag mark value payloads framed as f16
+(Houdini's default VDB export). Both read and write are supported; writing
+quantizes values to f16 first so inactive-value classification agrees with
+the stored bits.
 """
 
 from __future__ import annotations
@@ -243,8 +251,8 @@ def _pack_string(s: str) -> bytes:
     return struct.pack("<I", len(b)) + b
 
 
-def _value_bytes(v: np.ndarray) -> bytes:
-    return np.asarray(v, "<f4").tobytes()
+def _value_bytes(v: np.ndarray, half: bool = False) -> bytes:
+    return np.asarray(v, "<f2" if half else "<f4").tobytes()
 
 
 # ---------------------------------------------------------------------------
@@ -377,36 +385,50 @@ def _write_transform(parts: list, mat: np.ndarray) -> None:
 
 def _read_data(cur: _Cursor, count: int, comps: int, half: bool,
                compression: int) -> np.ndarray:
-    """readData: ZIP framing {int64 n; n>0 zlib, n<=0 raw -n bytes} when the
-    ZIP flag is set, raw values otherwise."""
-    if compression & COMPRESS_BLOSC:
-        raise FormatError(
-            "this .vdb stores BLOSC-compressed buffers; blosc is unavailable "
-            "on this host — re-save the asset with ZIP or no compression")
-    if count == 0 and not (compression & COMPRESS_ZIP):
+    """readData: {int64 n; n>0 compressed, n<=0 raw -n bytes} framing when
+    the ZIP or BLOSC flag is set, raw values otherwise. BLOSC payloads are
+    c-blosc1 chunks and may decode long (write-side zero padding of small
+    buffers, openvdb io/Compression.cc) — the tail is discarded."""
+    if count == 0 and not (compression & (COMPRESS_ZIP | COMPRESS_BLOSC)):
         return np.zeros((0, comps) if comps > 1 else 0, np.float32)
-    if compression & COMPRESS_ZIP:
+    if compression & (COMPRESS_ZIP | COMPRESS_BLOSC):
         n = cur.i64()
         itemsize = (2 if half else 4) * comps
+        expect = count * itemsize
         if n <= 0:
             raw = bytes(cur.take(-n))
+        elif compression & COMPRESS_BLOSC:
+            from vqvdb_tpu.vdb import blosc as _blosc
+
+            raw = _blosc.openvdb_decompress(bytes(cur.take(n)), expect)
         else:
             raw = zlib.decompress(bytes(cur.take(n)))
-        if len(raw) != count * itemsize:
+        if len(raw) != expect:
             raise FormatError(
-                f"zip payload decodes to {len(raw)} B, expected "
-                f"{count * itemsize}")
+                f"compressed payload decodes to {len(raw)} B, expected "
+                f"{expect}")
         arr = np.frombuffer(raw, "<f2" if half else "<f4").astype(np.float32)
         return arr.reshape(count, comps) if comps > 1 else arr
     return cur.values(count, comps, half)
 
 
-def _write_data(parts: list, values: np.ndarray, compression: int) -> None:
-    raw = np.asarray(values, "<f4").tobytes()
-    if compression & COMPRESS_ZIP:
+def _write_data(parts: list, values: np.ndarray, compression: int,
+                half: bool = False) -> None:
+    raw = np.asarray(values, "<f2" if half else "<f4").tobytes()
+    if compression & COMPRESS_BLOSC:
+        from vqvdb_tpu.vdb import blosc as _blosc
+
+        chunk = _blosc.openvdb_compress(raw)
+        if chunk is None or len(chunk) >= len(raw):
+            # openvdb convention: non-positive count = raw payload follows.
+            parts.append(struct.pack("<q", -len(raw)))
+            parts.append(raw)
+        else:
+            parts.append(struct.pack("<q", len(chunk)))
+            parts.append(chunk)
+    elif compression & COMPRESS_ZIP:
         z = zlib.compress(raw)
         if len(z) >= len(raw):
-            # openvdb convention: non-positive count = raw payload follows.
             parts.append(struct.pack("<q", -len(raw)))
             parts.append(raw)
         else:
@@ -474,30 +496,37 @@ def _read_compressed_values(
 def _write_compressed_values(
     parts: list, values: np.ndarray, value_mask_bits: np.ndarray,
     comps: int, compression: int, background: np.ndarray,
+    half: bool = False,
 ) -> None:
     """io::writeCompressedValues — classify inactive values, emit metadata
-    byte (+ optional inactive values + selection mask), then active values."""
+    byte (+ optional inactive values + selection mask), then active values.
+
+    When writing half grids the classification runs on f16-quantized
+    values, so the stored inactive/selection encoding matches the bits a
+    reader will reconstruct."""
     count = value_mask_bits.shape[0]
-    vals = np.asarray(values, np.float32).reshape(count, comps)
+    store_t = np.float16 if half else np.float32
+    word_t = np.uint16 if half else np.uint32
+    vals = np.asarray(values, store_t).reshape(count, comps)
     if not (compression & COMPRESS_ACTIVE_MASK):
         parts.append(bytes([NO_MASK_AND_ALL_VALS]))
-        _write_data(parts, vals, compression)
+        _write_data(parts, vals, compression, half)
         return
 
-    bg = np.asarray(background, np.float32).reshape(comps)
+    bg = np.asarray(background, store_t).reshape(comps)
     inactive = vals[~value_mask_bits]
     # Bitwise-distinct inactive values (handles -0.0/NaN deterministically).
     if inactive.shape[0]:
         uniq_rows, inverse = np.unique(
-            inactive.view(np.uint32).reshape(-1, comps), axis=0,
+            inactive.view(word_t).reshape(-1, comps), axis=0,
             return_inverse=True)
-        uniq = uniq_rows.view(np.float32)
+        uniq = uniq_rows.view(store_t)
     else:
-        uniq = np.zeros((0, comps), np.float32)
+        uniq = np.zeros((0, comps), store_t)
         inverse = np.zeros(0, np.int64)
 
     def same(a, b) -> bool:
-        return a.tobytes() == np.asarray(b, np.float32).tobytes()
+        return a.tobytes() == np.asarray(b, store_t).tobytes()
 
     metadata = NO_MASK_AND_ALL_VALS
     extra_vals: list = []
@@ -538,11 +567,11 @@ def _write_compressed_values(
 
     parts.append(bytes([metadata]))
     for v in extra_vals:
-        parts.append(_value_bytes(v))
+        parts.append(_value_bytes(v, half))
     if selection is not None:
         parts.append(_pack_bits(selection).tobytes())
     keep = vals if metadata == NO_MASK_AND_ALL_VALS else vals[value_mask_bits]
-    _write_data(parts, keep, compression)
+    _write_data(parts, keep, compression, half)
 
 
 # ---------------------------------------------------------------------------
@@ -758,10 +787,19 @@ def write_vdb(
     grids: Sequence[VdbGrid],
     *,
     compression: int = DEFAULT_COMPRESSION,
+    half: Optional[bool] = None,
 ) -> None:
-    """Write grids to an OpenVDB file (version 224, seekable archive)."""
-    if compression & COMPRESS_BLOSC:
-        raise FormatError("blosc is unavailable on this host; use ZIP")
+    """Write grids to an OpenVDB file (version 224, seekable archive).
+
+    compression may include COMPRESS_BLOSC (the ecosystem default codec,
+    vdb/blosc.py). half=True stores all value payloads as f16 (Houdini's
+    default VDB export — half the file size for ~3 decimal digits);
+    half=False forces full floats; None (default) follows each grid's
+    `saved_as_half` flag, so a read->write round trip preserves precision
+    mode.
+    """
+    if (compression & COMPRESS_BLOSC) and (compression & COMPRESS_ZIP):
+        raise FormatError("choose one of BLOSC or ZIP, not both")
     parts: list = []
     parts.append(struct.pack("<q", OPENVDB_MAGIC))
     parts.append(struct.pack("<I", FILE_VERSION))
@@ -779,20 +817,27 @@ def write_vdb(
         n = seen.get(g.name, 0)
         seen[g.name] = n + 1
         unique = g.name if n == 0 else f"{g.name}{_NAME_SEP}{n}"
-        out += _grid_blob(g, unique, len(out), compression)
+        g_half = g.saved_as_half if half is None else bool(half)
+        out += _grid_blob(g, unique, len(out), compression, g_half)
     Path(path).write_bytes(bytes(out))
 
 
 def _grid_blob(g: VdbGrid, unique_name: str, base: int,
-               compression: int) -> bytes:
+               compression: int, half: bool = False) -> bytes:
     comps = g.channels
     type_name = _TYPE_NAMES[g.value_type]
+    if half:
+        type_name += HALF_SUFFIX  # GridDescriptor saveFloatAsHalf marker
     head = _pack_string(unique_name) + _pack_string(type_name) + _pack_string("")
 
     body_parts: list = []
     body_parts.append(struct.pack("<I", compression))
     meta = dict(g.metadata)
     meta.setdefault("class", ("string", g.grid_class))
+    if half:
+        meta["is_saved_as_half_float"] = ("bool", True)
+    else:
+        meta.pop("is_saved_as_half_float", None)
     lo, hi = _grid_bbox(g)
     meta.setdefault("file_bbox_min", ("vec3i", lo))
     meta.setdefault("file_bbox_max", ("vec3i", hi))
@@ -800,7 +845,7 @@ def _grid_blob(g: VdbGrid, unique_name: str, base: int,
     _write_metamap(body_parts, meta)
     _write_transform(body_parts, g.transform)
 
-    topo_parts, buffer_parts = _write_tree(g, comps, compression)
+    topo_parts, buffer_parts = _write_tree(g, comps, compression, half)
     body = b"".join(body_parts)
     topo = b"".join(topo_parts)
     buffers = b"".join(buffer_parts)
@@ -836,8 +881,8 @@ def _active_voxels(g: VdbGrid) -> int:
     return n
 
 
-def _write_tree(g: VdbGrid, comps: int, compression: int
-                ) -> Tuple[list, list]:
+def _write_tree(g: VdbGrid, comps: int, compression: int,
+                half: bool = False) -> Tuple[list, list]:
     bg = np.asarray(g.background, np.float32).reshape(comps)
     origins = g.origins
     if origins.size and np.any(origins % LEAF_SPAN):
@@ -883,11 +928,12 @@ def _write_tree(g: VdbGrid, comps: int, compression: int
     topo: list = []
     bufs: list = []
     topo.append(struct.pack("<i", 1))  # TreeBase bufferCount
-    topo.append(_value_bytes(bg))
+    topo.append(_value_bytes(bg, half))
     topo.append(struct.pack("<II", len(root_tiles), len(keys5)))
     for t in root_tiles:
         topo.append(np.asarray(t.origin, "<i4").tobytes())
-        topo.append(_value_bytes(np.asarray(t.value, np.float32).reshape(comps)))
+        topo.append(_value_bytes(
+            np.asarray(t.value, np.float32).reshape(comps), half))
         topo.append(bytes([1 if t.active else 0]))
 
     flat_leaves = (g.leaves.reshape(-1, LEAF_SIZE, comps) if comps > 1
@@ -899,7 +945,7 @@ def _write_tree(g: VdbGrid, comps: int, compression: int
         _write_internal(
             topo, bufs, tree[k5], i5_tile_map.get(k5, []),
             i4_tile_map.get(k5, {}), flat_leaves, g.leaf_masks, comps,
-            compression, bg)
+            compression, bg, half)
     return topo, bufs
 
 
@@ -907,7 +953,7 @@ def _write_internal(
     topo: list, bufs: list, i4_children: Dict[int, list],
     i5_tiles: list, i4_tiles: Dict[int, list],
     flat_leaves: np.ndarray, leaf_masks: np.ndarray, comps: int,
-    compression: int, bg: np.ndarray,
+    compression: int, bg: np.ndarray, half: bool = False,
 ) -> None:
     """Emit one I5 node: masks, tile values, then its I4 children (each of
     which emits its own masks/values and leaf topologies/buffers)."""
@@ -927,19 +973,20 @@ def _write_internal(
 
     topo.append(_pack_bits(child_mask).tobytes())
     topo.append(_pack_bits(value_mask).tobytes())
-    _write_compressed_values(topo, values, value_mask, comps, compression, bg)
+    _write_compressed_values(topo, values, value_mask, comps, compression,
+                             bg, half)
 
     for off in child_offs:
         leaf_entries = i4_children[off]
         node_tiles = i4_tiles.get(off, [])
         _write_internal4(topo, bufs, leaf_entries, node_tiles, flat_leaves,
-                         leaf_masks, comps, compression, bg)
+                         leaf_masks, comps, compression, bg, half)
 
 
 def _write_internal4(
     topo: list, bufs: list, leaf_entries: list, node_tiles: list,
     flat_leaves: np.ndarray, leaf_masks: np.ndarray, comps: int,
-    compression: int, bg: np.ndarray,
+    compression: int, bg: np.ndarray, half: bool = False,
 ) -> None:
     child_mask = np.zeros(I4_SIZE, bool)
     value_mask = np.zeros(I4_SIZE, bool)
@@ -955,7 +1002,8 @@ def _write_internal4(
 
     topo.append(_pack_bits(child_mask).tobytes())
     topo.append(_pack_bits(value_mask).tobytes())
-    _write_compressed_values(topo, values, value_mask, comps, compression, bg)
+    _write_compressed_values(topo, values, value_mask, comps, compression,
+                             bg, half)
 
     for leaf_off, leaf_idx in sorted(leaf_entries):
         mask_bytes = leaf_masks[leaf_idx].tobytes()
@@ -966,7 +1014,7 @@ def _write_internal4(
         vals = flat_leaves[leaf_idx]
         _write_compressed_values(
             bufs, vals if comps > 1 else vals.reshape(LEAF_SIZE),
-            bits, comps, compression, bg)
+            bits, comps, compression, bg, half)
 
 
 # ---------------------------------------------------------------------------
@@ -1037,6 +1085,7 @@ def read_vdb_leafgrids(path: PathLike) -> list:
 
 
 def write_vdb_leafgrids(path: PathLike, leaf_grids: Sequence,
-                        *, compression: int = DEFAULT_COMPRESSION) -> None:
+                        *, compression: int = DEFAULT_COMPRESSION,
+                        half: Optional[bool] = None) -> None:
     write_vdb(path, [leafgrid_to_vdbgrid(g) for g in leaf_grids],
-              compression=compression)
+              compression=compression, half=half)
