@@ -4,8 +4,12 @@ The environment has no onnxruntime, so the export parity gate (the
 reference validates ONNX output against the source model at atol 1e-5,
 ref: python/to_onnx.py:185-219) is implemented here: parse the serialized
 bytes with onnx_proto.parse_model and execute the graph with numpy,
-op-for-op per the ONNX operator spec. Only the opset-11 subset the
-exporter emits is implemented; unknown ops raise.
+op-for-op per the ONNX operator spec. The opset-11 subset covers both the
+graphs our exporter emits and the graphs `torch.onnx.export` produces for
+the same architecture (Constant/InstanceNormalization/Shape/Unsqueeze/
+ReduceSum come from torch's GroupNorm and attention decompositions —
+tests/test_torch_onnx_cross.py runs torch-produced bytes through this
+executor as the independent-producer gate); unknown ops raise.
 
 This doubles as a wire-format check — a serialization bug surfaces as a
 parse or numerics failure here rather than only inside ORT at deploy time.
@@ -50,7 +54,11 @@ def run_graph(graph: P.Graph, feeds: Dict[str, np.ndarray]) -> Dict[str, np.ndar
     for n in graph.nodes:
         i = [env[name] for name in n.inputs]
         a = {k: v.value for k, v in n.attrs.items()}
-        if n.op_type == "Conv":
+        if n.op_type == "Constant":
+            y = a["value"].to_numpy()
+        elif n.op_type == "Identity":
+            y = i[0]
+        elif n.op_type == "Conv":
             bias = i[2] if len(i) > 2 else None
             y = _conv3d(i[0], i[1], bias, a.get("strides", [1] * 3),
                         a.get("pads", [0] * 6))
@@ -75,6 +83,25 @@ def run_graph(graph: P.Graph, feeds: Dict[str, np.ndarray]) -> Dict[str, np.ndar
             y = i[0].mean(axis=tuple(a["axes"]),
                           keepdims=bool(a.get("keepdims", 1)))
             y = y.astype(i[0].dtype)
+        elif n.op_type == "ReduceSum":
+            y = i[0].sum(axis=tuple(a["axes"]),
+                         keepdims=bool(a.get("keepdims", 1)))
+            y = y.astype(i[0].dtype)
+        elif n.op_type == "InstanceNormalization":
+            x, scale, bias = i
+            axes = tuple(range(2, x.ndim))
+            mean = x.mean(axis=axes, keepdims=True)
+            var = x.var(axis=axes, keepdims=True)  # biased, per spec
+            shp = (1, -1) + (1,) * (x.ndim - 2)
+            y = (scale.reshape(shp) * (x - mean)
+                 / np.sqrt(var + a.get("epsilon", 1e-5))
+                 + bias.reshape(shp)).astype(np.float32)
+        elif n.op_type == "Shape":
+            y = np.asarray(i[0].shape, np.int64)
+        elif n.op_type == "Unsqueeze":
+            y = i[0]
+            for ax in sorted(a["axes"]):
+                y = np.expand_dims(y, ax)
         elif n.op_type == "MatMul":
             y = i[0] @ i[1]
         elif n.op_type == "Reshape":

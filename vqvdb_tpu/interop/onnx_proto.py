@@ -201,15 +201,26 @@ def _unpack_varints(val, wire) -> List[int]:
     return out
 
 
+def _signed64(v: int) -> int:
+    """Protobuf varints carry int64 as two's complement; recover the sign."""
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
 @dataclass
 class Tensor:
     name: str = ""
     dims: List[int] = field(default_factory=list)
     data_type: int = FLOAT
     raw: bytes = b""
+    vals: List = field(default_factory=list)  # typed *_data fields
 
     def to_numpy(self) -> np.ndarray:
-        a = np.frombuffer(self.raw, dtype=_NP_OF[self.data_type])
+        if not self.raw and self.vals:
+            # Producers (torch among them) may use float_data/int64_data
+            # instead of raw_data for small tensors.
+            a = np.asarray(self.vals, dtype=_NP_OF[self.data_type])
+        else:
+            a = np.frombuffer(self.raw, dtype=_NP_OF[self.data_type])
         return a.reshape(self.dims)
 
 
@@ -263,6 +274,13 @@ def _parse_tensor(buf: bytes) -> Tensor:
             t.dims.extend(_unpack_varints(val, wire))
         elif no == 2:
             t.data_type = val
+        elif no == 4:  # float_data (packed 4-byte floats or repeated I32)
+            if wire == 2:
+                t.vals.extend(np.frombuffer(val, "<f4").tolist())
+            else:
+                t.vals.append(struct.unpack("<f", val)[0])
+        elif no in (5, 7):  # int32_data / int64_data (packed varints)
+            t.vals.extend(_signed64(v) for v in _unpack_varints(val, wire))
         elif no == 8:
             t.name = val.decode()
         elif no == 9:
@@ -278,13 +296,13 @@ def _parse_attr(buf: bytes) -> Attribute:
         elif no == 2:
             a.f = struct.unpack("<f", val)[0]
         elif no == 3:
-            a.i = val
+            a.i = _signed64(val)
         elif no == 4:
             a.s = val
         elif no == 5:
             a.t = _parse_tensor(val)
         elif no == 8:
-            a.ints.extend(_unpack_varints(val, wire))
+            a.ints.extend(_signed64(v) for v in _unpack_varints(val, wire))
     return a
 
 
