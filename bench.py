@@ -100,7 +100,7 @@ def _fenced_rate(step, params, batch, steps: int, perturb, consume,
     return b / max(marginal, 1e-9)
 
 
-def main() -> None:
+def main(data_parallel: bool = False) -> None:
     import jax
 
     from vqvdb_tpu.core.config import CodecConfig, ModelConfig
@@ -164,7 +164,7 @@ def main() -> None:
     spread = (max(base_runs) - min(base_runs)) / baseline if baseline else 0.0
 
     peak = V5E_BF16_PEAK_TFLOPS * 1e12
-    print(json.dumps({
+    out = {
         "metric": "decode_leaves_per_sec_per_chip",
         "value": round(value, 1),
         "unit": "leaves/s",
@@ -177,8 +177,33 @@ def main() -> None:
         if on_tpu else None,
         "encode_mfu": round(encode_value * ENCODE_MFLOP_PER_LEAF * 1e6 / peak,
                             3) if on_tpu else None,
-    }))
+    }
+    if data_parallel:
+        # Mesh codec end-to-end over every local device (1 chip today, N
+        # when available) + the measured host-stage cost model that bounds
+        # DP scaling (see benchmarks/bench_dp.py, docs/DP_SCALING.md).
+        import sys
+
+        sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+        from benchmarks.bench_dp import bench_mesh_size
+
+        row = bench_mesh_size(len(jax.devices()), opt_batch,
+                              100_000 if on_tpu else 8_192,
+                              "bfloat16" if on_tpu else "float32")
+        out["mesh_devices"] = row["n_devices"]
+        out["dp_e2e_decode_leaves_per_sec"] = row["e2e_decode_leaves_per_sec"]
+        for k in ("host_shard_ms_per_batch", "host_gather_ms_per_batch",
+                  "device_step_ms_per_batch",
+                  "host_bound_ceiling_leaves_per_sec"):
+            if k in row:
+                out[k] = row[k]
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
-    main()
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data-parallel", action="store_true",
+                    help="add mesh codec end-to-end + host cost fields")
+    main(data_parallel=ap.parse_args().data_parallel)

@@ -32,7 +32,8 @@ def test_device_runner_matches_host_loop(rng):
 
     key = jax.random.key(42)
     run = make_device_epoch_runner(opt, MCFG, TCFG, n)
-    state_dev, trace = run(state_dev, jnp.asarray(data), key, 1)
+    state_dev, trace = run(state_dev, jnp.asarray(data),
+                           jnp.zeros((0, 8, 8, 8, 1), jnp.float32), key, 1)
 
     # Replicate: the runner's epoch uses one split of `key` for the perm.
     _, kperm = jax.random.split(key)
@@ -47,8 +48,9 @@ def test_device_runner_matches_host_loop(rng):
         # atol 1e-5: in-graph and host-loop runs fuse reductions differently
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-5)
-    assert trace.shape == (1, 4)
-    assert np.isfinite(np.asarray(trace)).all()
+    assert trace.shape == (1, 5)
+    assert np.isfinite(np.asarray(trace)[:, :4]).all()
+    assert np.isnan(np.asarray(trace)[0, 4])  # no val shard supplied
 
 
 def test_train_on_device_learns(rng):
@@ -61,9 +63,12 @@ def test_train_on_device_learns(rng):
     data = np.stack(leaves)[..., None]
 
     state, trace = train_on_device(data, MCFG, TCFG, log_fn=lambda *_: None)
-    assert trace.shape == (TCFG.epochs, 4)
+    assert trace.shape == (TCFG.epochs, 5)
     assert trace[-1, 1] < trace[0, 1]  # recon_err decreases
-    assert int(state.step) == (128 // 16) * TCFG.epochs
+    assert np.isfinite(trace[:, 4]).all()  # val computed every epoch
+    assert trace[-1, 4] < trace[0, 4]  # held-out loss improves too
+    n_train = 128 - int(128 * TCFG.val_fraction)
+    assert int(state.step) == (n_train // 16) * TCFG.epochs
 
 
 def test_train_on_device_checkpoint_resume(tmp_path, rng):
@@ -71,15 +76,54 @@ def test_train_on_device_checkpoint_resume(tmp_path, rng):
     ckpt = tmp_path / "ck"
     # 2 epochs (one reset interval), checkpointed
     t2 = TrainConfig(**{**TCFG.__dict__, "epochs": 2})
+    n_train = 64 - int(64 * TCFG.val_fraction)  # 52 -> 3 steps/epoch
     s1, tr1 = train_on_device(data, MCFG, t2, checkpoint_dir=str(ckpt),
                               log_fn=lambda *_: None)
-    assert int(s1.step) == (64 // 16) * 2
-    # extend to 4 epochs: resumes from step 8 instead of restarting
+    assert int(s1.step) == (n_train // 16) * 2
+    # extend to 4 epochs: resumes instead of restarting
     t4 = TrainConfig(**{**TCFG.__dict__, "epochs": 4})
     s2, tr2 = train_on_device(data, MCFG, t4, checkpoint_dir=str(ckpt),
                               log_fn=lambda *_: None)
-    assert int(s2.step) == (64 // 16) * 4
+    assert int(s2.step) == (n_train // 16) * 4
     assert tr2.shape[0] == 2  # only the remaining epochs ran
+
+
+def test_train_on_device_selects_best_val_not_latest(tmp_path, rng):
+    """The durable best/ slot must hold the best-val state, which is NOT
+    always the final state (round-3 VERDICT #3: model selection on
+    validation, ref: python/training.py:216-233). Deterministic setup:
+    converge on easy data, then resume the run on pure noise — validation
+    worsens, so best must survive from the first phase, across the resume
+    (best_val is restored from the best/ slot's metrics)."""
+    from vqvdb_tpu.train.checkpoint import CheckpointManager
+
+    easy = np.clip(rng.standard_normal((80, 1, 1, 1, 1)).astype(np.float32)
+                   * 0.05 + 0.5, 0, 1) * np.ones((1, 8, 8, 8, 1), np.float32)
+    noise = rng.random((80, 8, 8, 8, 1), dtype=np.float32)
+    ckpt = tmp_path / "ck"
+    t3 = TrainConfig(epochs=3, batch_size=16, lr=2e-3,
+                     compute_dtype="float32", dead_code_interval=1, seed=0)
+    s1, tr1 = train_on_device(easy, MCFG, t3, checkpoint_dir=str(ckpt),
+                              log_fn=lambda *_: None)
+    t6 = TrainConfig(**{**t3.__dict__, "epochs": 6})
+    state, tr2 = train_on_device(noise, MCFG, t6, checkpoint_dir=str(ckpt),
+                                 log_fn=lambda *_: None)
+
+    manager = CheckpointManager(str(ckpt))
+    best = manager.restore_best(state)
+    assert best is not None
+    bstep, bstate = best
+    meta = manager.read_best_metrics()
+    # Phase-1 selection: recorded best == minimum span-end val of phase 1.
+    np.testing.assert_allclose(meta["val_loss"], tr1[:, 4].min(), rtol=1e-6)
+    # Phase 2 (noise) never beats it, so best != latest.
+    assert (tr2[:, 4] > meta["val_loss"]).all()
+    assert int(bstep) <= int(s1.step) < int(state.step)
+    # The stored params differ from the final ones (a real earlier state).
+    diffs = [not np.allclose(np.asarray(a), np.asarray(b))
+             for a, b in zip(jax.tree_util.tree_leaves(bstate.params),
+                             jax.tree_util.tree_leaves(state.params))]
+    assert any(diffs)
 
 
 def test_export_checkpoint_cli(tmp_path, rng):

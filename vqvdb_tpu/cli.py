@@ -71,7 +71,8 @@ def _cmd_train(args) -> int:
                                        resume=not args.no_resume,
                                        mesh=mesh)
         history = {"loss": trace[:, 0].tolist(), "recon": trace[:, 1].tolist(),
-                   "vq": trace[:, 2].tolist(), "perplexity": trace[:, 3].tolist()}
+                   "vq": trace[:, 2].tolist(), "perplexity": trace[:, 3].tolist(),
+                   "val_loss": trace[:, 4].tolist()}
     else:
         mesh = None
         if args.data_parallel:
@@ -83,7 +84,20 @@ def _cmd_train(args) -> int:
         state, history = train(ds, mcfg, tcfg, checkpoint_dir=ckpt_dir,
                                resume=not args.no_resume, mesh=mesh)
     Path(args.model_path).parent.mkdir(parents=True, exist_ok=True)
-    save_model(args.model_path, state.params, mcfg)
+    # Model selection: export the best-val state when one was recorded
+    # (ref selects on best validation loss, python/training.py:216-233);
+    # the final state is exported only for runs without a usable val split.
+    export_params = state.params
+    from vqvdb_tpu.train.checkpoint import CheckpointManager
+
+    best = CheckpointManager(ckpt_dir).restore_best(state)
+    if best is not None:
+        bstep, bstate = best
+        meta = CheckpointManager(ckpt_dir).read_best_metrics() or {}
+        print(f"exporting best-val checkpoint: step {bstep} "
+              f"val={meta.get('val_loss', float('nan')):.6f}")
+        export_params = bstate.params
+    save_model(args.model_path, export_params, mcfg)
     print(f"model saved to {args.model_path}")
     hist_path = Path(args.model_path).with_suffix(".history.json")
     hist_path.write_text(json.dumps(history))

@@ -107,6 +107,12 @@ class CodecConfig:
     # scheduling already hides the wide conv's cost, and the split breaks
     # it. Default off; same lesson as the Pallas quantizer kernels.
     split_conv_in: int = 0
+    # Run the encoder's 16-channel residual block as one fused Pallas
+    # kernel (ops/fused_rb.py: banded block-Toeplitz matmuls on a fused
+    # (w, c) 128-lane layout; 2 HBM passes instead of 6-8). Default
+    # follows the in-context A/B on v5e (benchmarks/ab_rb16.py) — the
+    # round-1/2 rule that isolated wins invert in-graph applies here too.
+    fuse_rb16: bool = False
     donate_buffers: bool = True
 
     @property

@@ -146,7 +146,8 @@ def encoder_apply(params: Params, x: jnp.ndarray, cfg: ModelConfig) -> jnp.ndarr
 
 def encoder_features_packed_down(params: Params, folded_down: Params,
                                  x: jnp.ndarray, cfg: ModelConfig,
-                                 split_in: int = 0) -> jnp.ndarray:
+                                 split_in: int = 0,
+                                 fuse_rb16: bool = False) -> jnp.ndarray:
     """encoder_features with the strided downsampling conv executed on the
     space-to-channel packed grid (exact identity; ops/packed.py). The
     strided conv (k4 s2 scalar / k3 s2 vec3) is the slowest encoder stage
@@ -159,7 +160,12 @@ def encoder_features_packed_down(params: Params, folded_down: Params,
     if cfg.variant == "scalar":
         h = blocks.conv3d(params["pre_conv"], x, padding=1)
         h = jax.nn.relu(blocks.group_norm(params["pre_gn"], h, 4))
-        h = blocks.residual_block(params["pre_rb"], h)
+        if fuse_rb16:
+            from vqvdb_tpu.ops.fused_rb import residual_block_fused
+
+            h = residual_block_fused(params["pre_rb"], h)
+        else:
+            h = blocks.residual_block(params["pre_rb"], h)
         h = blocks.conv3d(folded_down, space_to_channel(h, 2), padding=1,
                           split_in=split_in)
         h = blocks.residual_block(params["rb"], h)

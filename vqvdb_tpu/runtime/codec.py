@@ -156,7 +156,9 @@ class VQCodec:
             if self._folded_down is not None:
                 h = encoder_features_packed_down(
                     params.encoder, self._folded_down, x, self.mcfg,
-                    split_in=self.ccfg.split_conv_in)
+                    split_in=self.ccfg.split_conv_in,
+                    fuse_rb16=(self.ccfg.fuse_rb16
+                               and self.mcfg.variant == "scalar"))
             else:
                 h = encoder_features(params.encoder, x, self.mcfg)
             flat_h = h.reshape(-1, h.shape[-1])

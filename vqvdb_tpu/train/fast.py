@@ -26,17 +26,23 @@ import numpy as np
 from vqvdb_tpu.core.config import ModelConfig
 from vqvdb_tpu.models.quantizer import reset_dead_codes
 from vqvdb_tpu.models.vqvae import encoder_apply
-from vqvdb_tpu.train.train import TrainConfig, TrainState, make_optimizer, train_step
+from vqvdb_tpu.train.train import (TrainConfig, TrainState, eval_step,
+                                   make_optimizer, train_step)
 
-METRIC_KEYS = ("loss", "recon_err", "vq_loss", "perplexity")
+METRIC_KEYS = ("loss", "recon_err", "vq_loss", "perplexity", "val_loss")
 
 
 def make_device_epoch_runner(opt, mcfg: ModelConfig, tcfg: TrainConfig,
-                             n_train: int, mesh=None):
-    """Build run(state, data, key, epochs) -> (state, metrics[epochs, 4]).
+                             n_train: int, mesh=None, n_val: int = 0):
+    """Build run(state, data, val_data, key, epochs)
+    -> (state, metrics[epochs, 5] = loss/recon/vq/perplexity/val_loss).
 
     data: [N, 8, 8, 8, C] on device; only the first
     (N // batch_size) * batch_size leaves are touched per epoch (shuffled).
+    val_data: [n_val, ...] held-out shard, evaluated in-graph after every
+    epoch (no EMA/optimizer side effects — train.eval_step); when n_val
+    yields no full batch the val column is NaN. Matching the reference,
+    which validates every epoch (ref: python/training.py:184-208).
 
     With a mesh, the whole epoch program runs shard_mapped over the data
     axis: the dataset and shuffle key are replicated (these leaf datasets
@@ -51,19 +57,21 @@ def make_device_epoch_runner(opt, mcfg: ModelConfig, tcfg: TrainConfig,
     steps_per_epoch = n_train // bs
     if steps_per_epoch == 0:
         raise ValueError(f"batch_size {bs} exceeds dataset size {n_train}")
+    val_steps = n_val // bs
 
     n_dev = 1 if mesh is None else int(mesh.devices.size)
     if bs % n_dev:
         raise ValueError(f"batch_size {bs} not divisible by mesh size {n_dev}")
     bs_local = bs // n_dev
+    n_metrics = len(METRIC_KEYS)
     axis = None
     if mesh is not None:
         from vqvdb_tpu.parallel.mesh import DATA_AXIS
 
         axis = DATA_AXIS
 
-    def epochs_fn(state: TrainState, data: jnp.ndarray, key: jnp.ndarray,
-                  epochs: int):
+    def epochs_fn(state: TrainState, data: jnp.ndarray, val_data: jnp.ndarray,
+                  key: jnp.ndarray, epochs: int):
         rank = 0 if axis is None else jax.lax.axis_index(axis)
 
         def epoch_body(e, carry):
@@ -79,16 +87,34 @@ def make_device_epoch_runner(opt, mcfg: ModelConfig, tcfg: TrainConfig,
                 state, metrics, _ = train_step(state, batch, opt, mcfg, tcfg,
                                                axis_name=axis)
                 acc = acc + jnp.stack([metrics[k].astype(jnp.float32)
-                                       for k in METRIC_KEYS])
+                                       for k in METRIC_KEYS[:4]])
                 return state, acc
 
             state, acc = jax.lax.fori_loop(
                 0, steps_per_epoch, step_body,
-                (state, jnp.zeros((len(METRIC_KEYS),), jnp.float32)))
-            trace = trace.at[e].set(acc / steps_per_epoch)
+                (state, jnp.zeros((4,), jnp.float32)))
+
+            # Per-epoch validation over the resident held-out shard. Each
+            # shard evaluates its slice of every global val batch; shard
+            # means over equal-sized slices pmean to the global batch mean.
+            def val_body(i, vacc):
+                vbatch = jax.lax.dynamic_slice_in_dim(
+                    val_data, i * bs + rank * bs_local, bs_local, 0)
+                loss = eval_step(state.params, vbatch, mcfg, tcfg)["loss"]
+                if axis is not None:
+                    loss = jax.lax.pmean(loss, axis)
+                return vacc + loss.astype(jnp.float32)
+
+            if val_steps:
+                val_loss = jax.lax.fori_loop(
+                    0, val_steps, val_body, jnp.float32(0.0)) / val_steps
+            else:
+                val_loss = jnp.float32(jnp.nan)
+            row = jnp.concatenate([acc / steps_per_epoch, val_loss[None]])
+            trace = trace.at[e].set(row)
             return state, key, trace
 
-        trace0 = jnp.zeros((epochs, len(METRIC_KEYS)), jnp.float32)
+        trace0 = jnp.zeros((epochs, n_metrics), jnp.float32)
         state, key, trace = jax.lax.fori_loop(
             0, epochs, epoch_body, (state, key, trace0))
         return state, trace
@@ -96,28 +122,25 @@ def make_device_epoch_runner(opt, mcfg: ModelConfig, tcfg: TrainConfig,
     if mesh is None:
         @functools.partial(jax.jit, static_argnames=("epochs",),
                            donate_argnums=(0,))
-        def run(state, data, key, epochs):
-            return epochs_fn(state, data, key, epochs)
+        def run(state, data, val_data, key, epochs):
+            return epochs_fn(state, data, val_data, key, epochs)
 
         return run
 
     from jax.sharding import PartitionSpec as P
 
-    shard_map = getattr(jax, "shard_map", None)
-    if shard_map is None:  # pre-0.8 jax
-        from jax.experimental.shard_map import shard_map  # type: ignore
+    from vqvdb_tpu.parallel.mesh import _shard_map
 
     @functools.partial(jax.jit, static_argnames=("epochs",),
                        donate_argnums=(0,))
-    def run_sharded(state, data, key, epochs):
-        mapped = shard_map(
+    def run_sharded(state, data, val_data, key, epochs):
+        mapped = _shard_map(
             functools.partial(epochs_fn, epochs=epochs),
-            mesh=mesh,
-            in_specs=(P(), P(), P()),
+            mesh,
+            in_specs=(P(), P(), P(), P()),
             out_specs=(P(), P()),
-            check_rep=False,
         )
-        return mapped(state, data, key)
+        return mapped(state, data, val_data, key)
 
     return run_sharded
 
@@ -135,18 +158,29 @@ def train_on_device(
 ) -> Tuple[TrainState, np.ndarray]:
     """Full device-resident training driver.
 
-    Runs `dead_code_interval` epochs per device call, then performs the
-    dead-code reset from a probe batch (ref cadence: python/training.py:180).
-    With checkpoint_dir, saves at every reset boundary and resumes from the
-    latest checkpoint (same orbax manager as the host-loop trainer).
-    Returns (final_state, metrics [epochs, 4] = loss/recon/vq/perplexity).
+    Holds out `tcfg.val_fraction` of the leaves (deterministic permutation
+    by tcfg.seed, the reference's 80/20 convention, ref:
+    python/training.py:67-95), keeps both shards resident, and runs
+    `dead_code_interval` epochs per device call with per-epoch in-graph
+    validation; then performs the dead-code reset from a probe batch (ref
+    cadence: python/training.py:180). With checkpoint_dir, saves at every
+    reset boundary, tracks best-val across spans (and across resumes via
+    the best/ slot's metrics), and writes the best-val state to the
+    durable `best/` slot — model selection matches the reference's
+    best-val checkpointing (ref: python/training.py:216-233).
+    Returns (final_state, metrics [epochs, 5] =
+    loss/recon/vq/perplexity/val_loss).
     """
     from vqvdb_tpu.train.train import make_train_state
 
     leaves = np.asarray(dataset_leaves, np.float32)
     if leaves.ndim == 4:
         leaves = leaves[..., None]
-    n = leaves.shape[0]
+    n_total = leaves.shape[0]
+    n_val = int(n_total * tcfg.val_fraction)
+    split = np.random.default_rng(tcfg.seed).permutation(n_total)
+    val_idx, train_idx = split[:n_val], split[n_val:]
+    n = train_idx.shape[0]
     steps_per_epoch = max(n // tcfg.batch_size, 1)
     total_steps = steps_per_epoch * tcfg.epochs
     opt = make_optimizer(tcfg, total_steps)
@@ -155,6 +189,7 @@ def train_on_device(
 
     manager = None
     done = 0
+    best_val = float("inf")
     if checkpoint_dir:
         from vqvdb_tpu.train.checkpoint import CheckpointManager
 
@@ -166,9 +201,12 @@ def train_on_device(
                 step0, state = restored
                 done = int(step0) // steps_per_epoch
                 log_fn(f"[fast-train] resumed at epoch {done} (step {step0})")
+            best_meta = manager.read_best_metrics() or {}
+            best_val = float(best_meta.get("val_loss", best_val))
 
-    run = make_device_epoch_runner(opt, mcfg, tcfg, n, mesh=mesh)
-    data = jnp.asarray(leaves)
+    run = make_device_epoch_runner(opt, mcfg, tcfg, n, mesh=mesh, n_val=n_val)
+    data = jnp.asarray(leaves[train_idx])
+    val_data = jnp.asarray(leaves[val_idx])
     key = jax.random.key(tcfg.seed + 1)
     reset_key = jax.random.key(tcfg.seed + 2)
     # Burn key splits for already-completed spans so a resumed run shuffles
@@ -181,12 +219,14 @@ def train_on_device(
     while done < tcfg.epochs:
         span = min(tcfg.dead_code_interval, tcfg.epochs - done)
         key, sub = jax.random.split(key)
-        state, trace = run(state, data, sub, span)
+        state, trace = run(state, data, val_data, sub, span)
         traces.append(np.asarray(trace))
         done += span
         m = traces[-1][-1]
+        val_loss = float(m[4])
         log_fn(f"[fast-train] epoch {done}/{tcfg.epochs} "
-               f"loss={m[0]:.5f} recon={m[1]:.5f} vq={m[2]:.5f} ppl={m[3]:.1f}")
+               f"loss={m[0]:.5f} recon={m[1]:.5f} vq={m[2]:.5f} "
+               f"ppl={m[3]:.1f} val={val_loss:.5f}")
         if done < tcfg.epochs:
             # Dead-code reset from a probe batch's encoder outputs.
             reset_key, sub2 = jax.random.split(reset_key)
@@ -202,5 +242,16 @@ def train_on_device(
         if manager is not None:
             manager.save(int(state.step), state,
                          metrics={"epoch": done,
-                                  "loss": float(traces[-1][-1][0])})
+                                  "loss": float(traces[-1][-1][0]),
+                                  "val_loss": val_loss})
+            # Selection metric: span-end val loss (falls back to train loss
+            # for runs whose val split is below one batch).
+            select = val_loss if np.isfinite(val_loss) else float(m[0])
+            if select < best_val:
+                best_val = select
+                manager.save_best(int(state.step), state,
+                                  metrics={"val_loss": select,
+                                           "epoch": done})
+                log_fn(f"[fast-train] new best val={select:.5f} "
+                       f"(epoch {done})")
     return state, np.concatenate(traces, axis=0)
