@@ -1,6 +1,10 @@
 """Per-stage encode profile (companion to profile_decode.py).
 
-Usage:  python benchmarks/profile_encode.py [out.json]
+Usage:  python benchmarks/profile_encode.py [out.json] [batch]
+
+batch defaults to 2048 — the shipped operating point since the round-2
+sweep (CodecConfig rationale); round-2 profiled at the stale b8192 point,
+which VERDICT r2 flagged.
 
 Times cumulative prefixes of the optimized encode graph (pre conv ->
 pre GN/relu -> RB16 -> packed down conv -> RB32 -> attention -> fused
@@ -25,7 +29,7 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
-def main(out_path=None):
+def main(out_path=None, batch_arg=None):
     import jax
     import jax.numpy as jnp
 
@@ -36,7 +40,8 @@ def main(out_path=None):
     from vqvdb_tpu.runtime.codec import VQCodec
 
     mcfg = ModelConfig()
-    ccfg = CodecConfig(batch_size=8192, compute_dtype="bfloat16")
+    batch_arg_v = int(batch_arg) if batch_arg else 2048
+    ccfg = CodecConfig(batch_size=batch_arg_v, compute_dtype="bfloat16")
     params = init_vqvae_params(jax.random.key(0), mcfg)
     enc = params.encoder
     folded_down = fold_strided_conv(np.asarray(enc["down"]["w"], np.float32),
@@ -44,7 +49,7 @@ def main(out_path=None):
     score_mc = fold_proj_into_scores(enc["proj"]["w"], enc["proj"]["b"],
                                      np.asarray(params.vq.embedding))
     on_tpu = jax.default_backend() == "tpu"
-    batch = 8192 if on_tpu else 256
+    batch = batch_arg_v if on_tpu else 256
     lo, hi = (64, 256) if on_tpu else (2, 6)
     rng = np.random.default_rng(0)
     x0 = jnp.asarray(rng.random((batch, 8, 8, 8, 1), np.float32))
@@ -136,4 +141,5 @@ def main(out_path=None):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else None)
+    main(sys.argv[1] if len(sys.argv) > 1 else None,
+         sys.argv[2] if len(sys.argv) > 2 else None)

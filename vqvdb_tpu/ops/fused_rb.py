@@ -122,7 +122,9 @@ def _conv_banded(y, w_ref, bias_l, interpret: bool):
         elif interpret:
             shifted = jnp.roll(y, -s, axis=1)
         else:
-            shifted = pltpu.roll(y, -s, 1)
+            # pltpu.roll rejects negative shifts; rolls are cyclic over the
+            # 64-row axis so shift by (-s) mod 64 instead.
+            shifted = pltpu.roll(y, (-s) % rows, 1)
         src = (shifted * _tap_mask(a, b)).reshape(t * rows, lanes)
         acc = acc + jax.lax.dot_general(
             src, w_ref[k], (((1,), (0,)), ((), ())),
