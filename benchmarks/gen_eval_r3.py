@@ -63,13 +63,14 @@ def gather_family(kind: str, size: int, min_blocks: int) -> np.ndarray:
     return leaves
 
 
-def eval_family(name: str, min_blocks: int, batch_size: int) -> dict:
+def eval_family(name: str, min_blocks: int, batch_size: int,
+                model_override=None, write_reports=True) -> dict:
     from vqvdb_tpu import api
     from vqvdb_tpu.eval.metrics import codebook_report, evaluate_codec
     from vqvdb_tpu.eval.report import write_report
 
     kind, size, model, report_dir, note = FAMILIES[name]
-    model_path = ROOT / model
+    model_path = Path(model_override) if model_override else ROOT / model
     if not model_path.exists():
         print(f"[{name}] SKIP: {model} missing", file=sys.stderr)
         return {"family": name, "skipped": True}
@@ -80,12 +81,13 @@ def eval_family(name: str, min_blocks: int, batch_size: int) -> dict:
     dt = time.perf_counter() - t0
     cb = codebook_report(report["indices"], codec.mcfg.num_embeddings)
 
-    k = min(6, leaves.shape[0])
-    recon = codec.decode_indices(report["indices"][:k])
-    write_report(ROOT / report_dir, report, cb,
-                 sample_leaves=leaves[:k], sample_recon=recon,
-                 title=f"eval: {model} ({note}; round-3, "
-                       f"{report['num_blocks']} blocks)")
+    if write_reports:
+        k = min(6, leaves.shape[0])
+        recon = codec.decode_indices(report["indices"][:k])
+        write_report(ROOT / report_dir, report, cb,
+                     sample_leaves=leaves[:k], sample_recon=recon,
+                     title=f"eval: {model} ({note}; round-3, "
+                           f"{report['num_blocks']} blocks)")
     row = {k2: v for k2, v in report.items() if not isinstance(v, np.ndarray)}
     row.update({k2: v for k2, v in cb.items() if not isinstance(v, np.ndarray)})
     # Spread evidence for threshold-setting: percentile ladder of PSNR.
@@ -108,9 +110,17 @@ def main():
     ap.add_argument("--batch-size", type=int, default=2048)
     ap.add_argument("--families", nargs="*", default=list(FAMILIES))
     ap.add_argument("--out", default=str(ROOT / "benchmarks/eval_r3.json"))
+    ap.add_argument("--scalar-model", default=None,
+                    help="override the scalar model path (no reports written)")
+    ap.add_argument("--vec3-model", default=None)
+    ap.add_argument("--no-reports", action="store_true")
     args = ap.parse_args()
 
-    rows = [eval_family(f, args.min_blocks, args.batch_size)
+    overrides = {"smoke": args.scalar_model, "levelset": args.scalar_model,
+                 "vec3": args.vec3_model}
+    rows = [eval_family(f, args.min_blocks, args.batch_size,
+                        model_override=overrides.get(f),
+                        write_reports=not args.no_reports)
             for f in args.families]
     doc = {"min_blocks": args.min_blocks, "rows": rows}
     Path(args.out).write_text(json.dumps(doc, indent=2))
