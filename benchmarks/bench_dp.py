@@ -75,6 +75,18 @@ def _host_stage_times(codec, mesh, batch_size, k, n_rep=30):
     assert host.shape[0] == batch_size
     t_gather = float(np.median(tg))
 
+    # per-shard gather (what the codec actually uses, VQCodec._host_rows):
+    # shard buffers copied straight into the output, no jax reassembly.
+    tps = []
+    for _ in range(n_rep):
+        out = codec._decode_jit(codec.params, dev_in)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        host2 = codec._host_rows(out, batch_size)
+        tps.append(time.perf_counter() - t0)
+    np.testing.assert_array_equal(host2, host)
+    t_gather_shards = float(np.median(tps))
+
     # fenced device step time (dispatch->ready), for the compute column.
     td = []
     for _ in range(n_rep):
@@ -83,7 +95,7 @@ def _host_stage_times(codec, mesh, batch_size, k, n_rep=30):
         jax.block_until_ready(out)
         td.append(time.perf_counter() - t0)
     t_step = float(np.median(td))
-    return t_shard, t_gather, t_step
+    return t_shard, t_gather, t_gather_shards, t_step
 
 
 def bench_mesh_size(n_dev, batch_size, n_leaves, compute_dtype):
@@ -129,15 +141,20 @@ def bench_mesh_size(n_dev, batch_size, n_leaves, compute_dtype):
         "e2e_decode_leaves_per_sec": round(total / dt, 1),
     }
     if mesh is not None:
-        t_shard, t_gather, t_step = _host_stage_times(
+        t_shard, t_gather, t_gather_shards, t_step = _host_stage_times(
             codec, mesh, batch_size, mcfg.num_embeddings)
         row.update({
             "host_shard_ms_per_batch": round(t_shard * 1e3, 3),
             "host_gather_ms_per_batch": round(t_gather * 1e3, 3),
+            "host_gather_shards_ms_per_batch": round(t_gather_shards * 1e3, 3),
             "device_step_ms_per_batch": round(t_step * 1e3, 3),
-            # Host-bound ceiling if device compute were free (chips -> inf).
+            # Host-bound ceilings if device compute were free (chips -> inf),
+            # under the naive full reassembly vs the per-shard copy the
+            # codec uses (VQCodec._host_rows).
             "host_bound_ceiling_leaves_per_sec": round(
                 batch_size / max(t_shard + t_gather, 1e-9), 1),
+            "host_bound_ceiling_shards_leaves_per_sec": round(
+                batch_size / max(t_shard + t_gather_shards, 1e-9), 1),
         })
     return row
 

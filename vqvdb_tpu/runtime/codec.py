@@ -233,7 +233,7 @@ class VQCodec:
         out = np.empty((leaves.shape[0],) + self.mcfg.latent_shape,
                        np.dtype(self.mcfg.index_dtype))
         for dev, s, n in self._pipelined(self._encode_jit, leaves):
-            out[s : s + n] = np.asarray(dev)[:n]
+            out[s : s + n] = self._host_rows(dev, n)
         return out
 
     def decode_indices(self, indices: np.ndarray) -> np.ndarray:
@@ -244,7 +244,7 @@ class VQCodec:
             np.float32,
         )
         for dev, s, n in self._pipelined(self._decode_jit, indices):
-            out[s : s + n] = np.asarray(dev)[:n]
+            out[s : s + n] = self._host_rows(dev, n)
         return out
 
     def _to_device(self, chunk: np.ndarray):
@@ -254,6 +254,30 @@ class VQCodec:
 
             return shard_batch(chunk, self.mesh)
         return jnp.asarray(chunk)
+
+    def _host_rows(self, dev, n: int) -> np.ndarray:
+        """First `n` rows of a (possibly sharded) device batch on the host.
+
+        For a mesh-sharded result, `np.asarray(dev)` makes JAX reassemble
+        all shards into one array first — measured at 1.5-5.5 ms/batch at
+        4-8 shards on the CPU mesh (docs/DP_SCALING.md), a host-side cost
+        that bounds aggregate DP throughput regardless of chip count.
+        Instead copy each addressable shard's buffer straight into its
+        slice of the output (leaf rows are independent; `shard.index`
+        fixes placement, so shard iteration order is irrelevant). Shards
+        entirely inside the padded tail are skipped without transfer.
+        """
+        if self.mesh is None:
+            return np.asarray(dev)[:n]
+        out = np.empty((n,) + tuple(dev.shape[1:]), dev.dtype)
+        for sh in dev.addressable_shards:
+            r0 = sh.index[0].start or 0
+            if r0 >= n:
+                continue
+            data = np.asarray(sh.data)
+            rows = min(data.shape[0], n - r0)
+            out[r0 : r0 + rows] = data[:rows]
+        return out
 
     def _pipelined(self, step_fn, data: np.ndarray):
         """Fixed-shape batched dispatch with PIPELINE_DEPTH steps in flight.
@@ -316,7 +340,7 @@ class VQCodec:
                 )
                 w.start_grid(meta)
                 for dev, s, n in self._pipelined(self._encode_jit, grid.leaves):
-                    idx = np.asarray(dev)[:n]
+                    idx = self._host_rows(dev, n)
                     w.write_batch(idx, grid.origins[s : s + n])
                     total += n
                     if progress:
@@ -366,10 +390,10 @@ class VQCodec:
                     pending.append((dev, org, n))
                     if len(pending) >= PIPELINE_DEPTH:
                         d, o, m = pending.popleft()
-                        yield meta, np.asarray(d)[:m], o
+                        yield meta, self._host_rows(d, m), o
                 while pending:
                     d, o, m = pending.popleft()
-                    yield meta, np.asarray(d)[:m], o
+                    yield meta, self._host_rows(d, m), o
 
     def decompress(
         self,
