@@ -34,6 +34,60 @@ def test_trained_model_quality():
     assert cb["active_codes"] > 100  # healthy codebook utilization
 
 
+VEC3_MODEL = MODEL.parent / "vec3.vqmodel"
+
+# Family thresholds anchored to the round-3 50k-block evaluation
+# (benchmarks/eval_r3.json, seeds 1000+; PSNR percentile ladders in the
+# committed reports). Each gate evaluates the leading seeds of the same
+# unseen pool, so the measured-here values sit on the 50k distribution:
+#   smoke    999 blocks: mean 48.39 p5 42.8   (50k: mean 48.14 p5 41.86)
+#   levelset 1136 blocks: mean 33.12 p5 20.43 (50k: mean 32.80 p5 20.41)
+#   vec3     387 blocks: mean 32.70 p5 23.23  (50k: mean 30.63 p5 22.29)
+# Floors leave ~2-3 dB retrain headroom while tripping on kernel or
+# numerics regressions well above noise (run-to-run spread is 0 — the
+# eval is deterministic; the margin covers future retrains only).
+
+
+def _family_eval(factory, model, seeds):
+    from vqvdb_tpu import api
+    from vqvdb_tpu.eval.metrics import evaluate_codec
+
+    leaves = np.concatenate(
+        [np.asarray(factory(96, seed=s).leaves, np.float32) for s in seeds])
+    codec = api.make_codec(model, batch_size=256, compute_dtype="float32")
+    return evaluate_codec(codec, leaves)
+
+
+def test_scalar_smoke_quality_50k_anchored():
+    from vqvdb_tpu.train.synthetic import smoke_grid
+
+    rep = _family_eval(smoke_grid, MODEL, (1000, 1001, 1002))
+    assert rep["num_blocks"] > 900
+    assert rep["psnr_mean"] > 46.0, f"smoke mean {rep['psnr_mean']:.2f} dB"
+    assert rep["psnr_p5"] > 40.0, f"smoke p5 {rep['psnr_p5']:.2f} dB"
+
+
+def test_scalar_levelset_quality_50k_anchored():
+    from vqvdb_tpu.train.synthetic import levelset_grid
+
+    rep = _family_eval(levelset_grid, MODEL, (1000, 1001, 1002))
+    assert rep["num_blocks"] > 1000
+    assert rep["psnr_mean"] > 30.5, f"levelset mean {rep['psnr_mean']:.2f} dB"
+    assert rep["psnr_p5"] > 18.0, f"levelset p5 {rep['psnr_p5']:.2f} dB"
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not VEC3_MODEL.exists(),
+                    reason="vec3 artifact not present")
+def test_vec3_quality_50k_anchored():
+    from vqvdb_tpu.train.synthetic import velocity_grid
+
+    rep = _family_eval(velocity_grid, VEC3_MODEL, (1000,))
+    assert rep["num_blocks"] > 300
+    assert rep["psnr_mean"] > 30.0, f"vec3 mean {rep['psnr_mean']:.2f} dB"
+    assert rep["psnr_p5"] > 20.5, f"vec3 p5 {rep['psnr_p5']:.2f} dB"
+
+
 def test_trained_model_file_roundtrip(tmp_path):
     from vqvdb_tpu import api
     from vqvdb_tpu.train.synthetic import smoke_grid
