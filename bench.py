@@ -193,8 +193,10 @@ def main(data_parallel: bool = False) -> None:
         out["mesh_devices"] = row["n_devices"]
         out["dp_e2e_decode_leaves_per_sec"] = row["e2e_decode_leaves_per_sec"]
         for k in ("host_shard_ms_per_batch", "host_gather_ms_per_batch",
+                  "host_gather_shards_ms_per_batch",
                   "device_step_ms_per_batch",
-                  "host_bound_ceiling_leaves_per_sec"):
+                  "host_bound_ceiling_leaves_per_sec",
+                  "host_bound_ceiling_shards_leaves_per_sec"):
             if k in row:
                 out[k] = row[k]
     print(json.dumps(out))

@@ -258,19 +258,26 @@ class VQCodec:
     def _host_rows(self, dev, n: int) -> np.ndarray:
         """First `n` rows of a (possibly sharded) device batch on the host.
 
-        For a mesh-sharded result, `np.asarray(dev)` makes JAX reassemble
-        all shards into one array first — measured at 1.5-5.5 ms/batch at
-        4-8 shards on the CPU mesh (docs/DP_SCALING.md), a host-side cost
-        that bounds aggregate DP throughput regardless of chip count.
-        Instead copy each addressable shard's buffer straight into its
-        slice of the output (leaf rows are independent; `shard.index`
-        fixes placement, so shard iteration order is irrelevant). Shards
-        entirely inside the padded tail are skipped without transfer.
+        For a multi-shard result, `np.asarray(dev)` makes JAX reassemble
+        all shards into one array first; instead copy each addressable
+        shard's buffer straight into its slice of the output (leaf rows
+        are independent; `shard.index` fixes placement, so shard
+        iteration order is irrelevant). Shards entirely inside the padded
+        tail are skipped without transfer — the structural win for ragged
+        tails. Measured A/B (benchmarks/dp_host_overhead_r3.json): both
+        paths sit at the host memcpy floor at 4-8 shards (~1.4 ms/4.2 MB
+        batch on the 1-core CPU-mesh host, per-shard slightly ahead);
+        single-shard arrays stay on `np.asarray`, which can alias the
+        buffer outright (zero-copy on CPU, one D2H on TPU) — see
+        docs/DP_SCALING.md for the full cost model.
         """
         if self.mesh is None:
             return np.asarray(dev)[:n]
+        shards = getattr(dev, "addressable_shards", None)
+        if not shards or len(shards) == 1:
+            return np.asarray(dev)[:n]
         out = np.empty((n,) + tuple(dev.shape[1:]), dev.dtype)
-        for sh in dev.addressable_shards:
+        for sh in shards:
             r0 = sh.index[0].start or 0
             if r0 >= n:
                 continue
