@@ -233,7 +233,7 @@ class VQCodec:
         out = np.empty((leaves.shape[0],) + self.mcfg.latent_shape,
                        np.dtype(self.mcfg.index_dtype))
         for dev, s, n in self._pipelined(self._encode_jit, leaves):
-            out[s : s + n] = self._host_rows(dev, n)
+            self._host_rows(dev, n, out=out[s : s + n])
         return out
 
     def decode_indices(self, indices: np.ndarray) -> np.ndarray:
@@ -244,7 +244,7 @@ class VQCodec:
             np.float32,
         )
         for dev, s, n in self._pipelined(self._decode_jit, indices):
-            out[s : s + n] = self._host_rows(dev, n)
+            self._host_rows(dev, n, out=out[s : s + n])
         return out
 
     def _to_device(self, chunk: np.ndarray):
@@ -255,7 +255,8 @@ class VQCodec:
             return shard_batch(chunk, self.mesh)
         return jnp.asarray(chunk)
 
-    def _host_rows(self, dev, n: int) -> np.ndarray:
+    def _host_rows(self, dev, n: int, out: Optional[np.ndarray] = None
+                   ) -> np.ndarray:
         """First `n` rows of a (possibly sharded) device batch on the host.
 
         For a multi-shard result, `np.asarray(dev)` makes JAX reassemble
@@ -270,13 +271,23 @@ class VQCodec:
         single-shard arrays stay on `np.asarray`, which can alias the
         buffer outright (zero-copy on CPU, one D2H on TPU) — see
         docs/DP_SCALING.md for the full cost model.
+
+        With `out` (a preallocated [n,...] destination, typically a slice
+        of the caller's result array), rows are written there directly —
+        one host copy total instead of temp-then-assign (the cost model's
+        copy floor is per byte *moved*; this halves the moves for the
+        array-level API and file decompress).
         """
-        if self.mesh is None:
-            return np.asarray(dev)[:n]
-        shards = getattr(dev, "addressable_shards", None)
+        shards = (getattr(dev, "addressable_shards", None)
+                  if self.mesh is not None else None)
         if not shards or len(shards) == 1:
-            return np.asarray(dev)[:n]
-        out = np.empty((n,) + tuple(dev.shape[1:]), dev.dtype)
+            rows = np.asarray(dev)[:n]
+            if out is None:
+                return rows
+            out[:] = rows
+            return out
+        if out is None:
+            out = np.empty((n,) + tuple(dev.shape[1:]), dev.dtype)
         for sh in shards:
             r0 = sh.index[0].start or 0
             if r0 >= n:
@@ -370,6 +381,15 @@ class VQCodec:
         per-batch reads, ref: VQVDB_Reader.cpp) carried over, with the device
         pipeline keeping PIPELINE_DEPTH batches in flight.
         """
+        for meta, dev, org, n in self._decode_stream_dev(in_path):
+            yield meta, self._host_rows(dev, n), org
+
+    def _decode_stream_dev(self, in_path: Union[str, Path]):
+        """decode_stream's device-level core: yields (grid_metadata,
+        device_batch, origins, valid_count) with the result still on
+        device, so consumers that own their destination memory (e.g.
+        `decompress`'s preallocated grid arrays) can materialize each
+        batch with a single host copy via `_host_rows(..., out=)`."""
         with VqvdbReader(in_path) as r:
             if r.num_embeddings != self.mcfg.num_embeddings:
                 raise ModelMismatchError(
@@ -394,13 +414,11 @@ class VQCodec:
                             [idx, np.zeros((bs - n,) + idx.shape[1:], idx.dtype)]
                         )
                     dev = self._decode_jit(self.params, self._to_device(chunk))
-                    pending.append((dev, org, n))
+                    pending.append((meta, dev, org, n))
                     if len(pending) >= PIPELINE_DEPTH:
-                        d, o, m = pending.popleft()
-                        yield meta, self._host_rows(d, m), o
+                        yield pending.popleft()
                 while pending:
-                    d, o, m = pending.popleft()
-                    yield meta, self._host_rows(d, m), o
+                    yield pending.popleft()
 
     def decompress(
         self,
@@ -417,32 +435,38 @@ class VQCodec:
         grids: List[LeafGrid] = []
         total = 0
         cur_meta = None
-        leaf_parts: List[np.ndarray] = []
-        origin_parts: List[np.ndarray] = []
+        leaves_out = origins_out = None
+        cursor = 0
+        blk = (LEAF_DIM, LEAF_DIM, LEAF_DIM, self.mcfg.in_channels)
 
         def _finish():
-            nonlocal leaf_parts, origin_parts
             if cur_meta is not None:
+                # Slice to what actually arrived: total_blocks is
+                # metadata, the reader's truncation checks are the
+                # authority on the real count.
                 grids.append(LeafGrid(
                     name=cur_meta.name,
-                    origins=np.concatenate(origin_parts) if origin_parts
-                    else np.empty((0, 3), np.int32),
-                    leaves=np.concatenate(leaf_parts) if leaf_parts
-                    else np.empty((0, LEAF_DIM, LEAF_DIM, LEAF_DIM,
-                                   self.mcfg.in_channels), np.float32),
+                    origins=origins_out[:cursor],
+                    leaves=leaves_out[:cursor],
                     transform=cur_meta.transform,
                 ))
-                leaf_parts, origin_parts = [], []
 
-        for meta, leaves, origins in self.decode_stream(in_path):
+        # Batches land directly in per-grid arrays preallocated from the
+        # grid metadata — one host copy per byte (see _host_rows) instead
+        # of the gather-then-concatenate two.
+        for meta, dev, origins, n in self._decode_stream_dev(in_path):
             if meta is not cur_meta:
                 _finish()
                 cur_meta = meta
+                leaves_out = np.empty((meta.total_blocks,) + blk, np.float32)
+                origins_out = np.empty((meta.total_blocks, 3), np.int32)
+                cursor = 0
                 if progress:
                     print(f"[decompress] {meta.name}: {meta.total_blocks} leaves")
-            leaf_parts.append(leaves)
-            origin_parts.append(origins)
-            total += leaves.shape[0]
+            self._host_rows(dev, n, out=leaves_out[cursor : cursor + n])
+            origins_out[cursor : cursor + n] = origins
+            cursor += n
+            total += n
         _finish()
 
         dt = time.perf_counter() - t0
