@@ -1,5 +1,6 @@
 """Evaluation harness + CLI end-to-end tests (in-process, CPU)."""
 
+import math
 import json
 
 import numpy as np
@@ -173,6 +174,27 @@ def test_cli_train_device_resident(tmp_path, capsys):
     assert rc == 0 and model_path.exists()
     hist = json.loads(model_path.with_suffix(".history.json").read_text())
     assert len(hist["loss"]) == 2
+    assert len(hist["val_loss"]) == 2
+
+
+def test_cli_train_val_fraction_zero(tmp_path, capsys):
+    """--val-fraction 0 trains on 100% of the data (the retrain experiment
+    showed that on unlimited synthetic data the holdout can cost more than
+    selection gains — benchmarks/retrain_val_selection_r3.json); the val
+    column becomes NaN and selection falls back to train loss."""
+    data_dir = tmp_path / "data"
+    cli_main(["datagen", str(data_dir), "--volumes", "2", "--size", "32"])
+    capsys.readouterr()
+    model_path = tmp_path / "nv.vqmodel"
+    rc = cli_main([
+        "train", "--data-dir", str(data_dir), "--model-path", str(model_path),
+        "--epochs", "1", "--batch-size", "16", "--embedding-dim", "32",
+        "--num-embeddings", "64", "--compute-dtype", "float32", "--lr", "1e-3",
+        "--device-resident", "--val-fraction", "0",
+    ])
+    assert rc == 0 and model_path.exists()
+    hist = json.loads(model_path.with_suffix(".history.json").read_text())
+    assert all(math.isnan(v) for v in hist["val_loss"])
 
 
 def test_persistent_compile_cache(tmp_path):

@@ -51,6 +51,7 @@ def _cmd_train(args) -> int:
         batch_size=args.batch_size,
         lr=args.lr,
         compute_dtype=args.compute_dtype,
+        val_fraction=args.val_fraction,
         seed=args.seed,
     )
     if args.device_resident:
@@ -498,6 +499,11 @@ def main(argv=None) -> int:
     pt.add_argument("--in-channels", type=int, default=1, choices=[1, 3])
     pt.add_argument("--stride", type=int, default=1, help="dataset subsample stride")
     pt.add_argument("--compute-dtype", default="bfloat16")
+    pt.add_argument("--val-fraction", type=float, default=0.2,
+                    help="held-out fraction for per-epoch validation and "
+                         "best-val selection (0 disables the split; on "
+                         "procedurally unlimited data a small holdout "
+                         "keeps selection without starving training)")
     pt.add_argument("--seed", type=int, default=0)
     pt.add_argument("--data-parallel", action="store_true",
                     help="shard batches over all local devices")
