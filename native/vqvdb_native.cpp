@@ -17,6 +17,7 @@
 // Pure-numpy fallbacks exist for every entry point; behaviour must match
 // bit-for-bit (tests/test_native_io.py).
 
+#include <algorithm>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
@@ -193,6 +194,172 @@ int vq_write_chunks(const char* path, int append, const int32_t* origins,
   return err ? 2 : 0;
 }
 
-int vq_version() { return 1; }
+// ---------------------------------------------------------------------------
+// LZ4 block codec (spec-derived from the published LZ4 block format
+// description; no liblz4 code). Used for v5 .vqvdb payload frames, where
+// host-side zlib inflate (~250 MB/s) would otherwise bound file-level
+// decode throughput well below the chip's 2M leaves/s. The same block
+// format as the pure-Python codec in vqvdb_tpu/vdb/blosc.py (the numpy
+// fallback); both are cross-validated against system liblz4 in
+// tests/test_blosc_cross.py / tests/test_format_v5.py.
+//
+// Encoder: greedy single-pass with a 64Ki-entry 4-gram hash table,
+// honouring the end-of-block rules (no match starts within the last 12
+// bytes, none extends into the last 5), so any conforming decoder accepts
+// the output. Decoder: fully bounds-checked ("safe" contract — returns -1
+// on any malformed input instead of reading/writing out of range).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+inline uint32_t lz4_read32(const uint8_t* p) {
+  uint32_t v;
+  std::memcpy(&v, p, 4);
+  return v;
+}
+
+inline uint32_t lz4_hash(uint32_t v) { return (v * 2654435761u) >> 16; }
+
+// Emit one sequence: [token][ext lit len][literals][offset][ext match len].
+// Returns false if dst capacity would be exceeded.
+inline bool lz4_emit(const uint8_t* src, int64_t anchor, int64_t lit,
+                     int64_t offset, int64_t mlen4, uint8_t*& op,
+                     const uint8_t* oend) {
+  const int64_t head = 1 + (lit >= 15 ? 1 + (lit - 15) / 255 : 0) + lit;
+  if (op + head + (offset ? 2 : 0) > oend) return false;
+  uint8_t* token = op++;
+  if (lit >= 15) {
+    *token = 15 << 4;
+    int64_t r = lit - 15;
+    for (; r >= 255; r -= 255) *op++ = 255;
+    *op++ = static_cast<uint8_t>(r);
+  } else {
+    *token = static_cast<uint8_t>(lit) << 4;
+  }
+  std::memcpy(op, src + anchor, lit);
+  op += lit;
+  if (!offset) return true;  // final literal-only sequence
+  *op++ = static_cast<uint8_t>(offset & 0xFF);
+  *op++ = static_cast<uint8_t>(offset >> 8);
+  if (mlen4 >= 15) {
+    *token |= 15;
+    int64_t r = mlen4 - 15;
+    const int64_t ext = 1 + r / 255;
+    if (op + ext > oend) return false;
+    for (; r >= 255; r -= 255) *op++ = 255;
+    *op++ = static_cast<uint8_t>(r);
+  } else {
+    *token |= static_cast<uint8_t>(mlen4);
+  }
+  return true;
+}
+
+}  // namespace
+
+// Worst-case compressed size for n input bytes.
+int64_t vq_lz4_bound(int64_t n) { return n + n / 255 + 16; }
+
+// Compress src[0..n) into dst (capacity dst_cap). Returns the compressed
+// size, or -1 on insufficient capacity / oversize input.
+int64_t vq_lz4_compress(const uint8_t* src, int64_t n, uint8_t* dst,
+                        int64_t dst_cap) {
+  if (n < 0 || n > INT32_MAX) return -1;
+  uint8_t* op = dst;
+  const uint8_t* oend = dst + dst_cap;
+  const int64_t mflimit = n - 12;   // no match may start after this
+  const int64_t matchlimit = n - 5;  // no match may extend past this
+  std::vector<int32_t> table(1 << 16, -1);
+  int64_t anchor = 0;
+  int64_t i = 0;
+  while (i < mflimit) {
+    const uint32_t seq = lz4_read32(src + i);
+    const uint32_t h = lz4_hash(seq);
+    const int64_t cand = table[h];
+    table[h] = static_cast<int32_t>(i);
+    if (cand < 0 || i - cand > 0xFFFF || lz4_read32(src + cand) != seq) {
+      ++i;
+      continue;
+    }
+    int64_t m = i + 4;
+    int64_t c = cand + 4;
+    while (m < matchlimit && src[m] == src[c]) {
+      ++m;
+      ++c;
+    }
+    if (!lz4_emit(src, anchor, i - anchor, i - cand, (m - i) - 4, op, oend))
+      return -1;
+    // Index a few interior positions so long runs keep chaining.
+    const int64_t step = std::max<int64_t>(1, (m - i) / 4);
+    for (int64_t j = i + step; j < std::min(m, mflimit); j += step)
+      table[lz4_hash(lz4_read32(src + j))] = static_cast<int32_t>(j);
+    i = m;
+    anchor = m;
+  }
+  if (!lz4_emit(src, anchor, n - anchor, 0, 0, op, oend)) return -1;
+  return op - dst;
+}
+
+// Decompress src[0..src_len) into dst of exactly dst_size bytes. Returns
+// the decompressed size (== dst_size on success), -1 on malformed input.
+int64_t vq_lz4_decompress(const uint8_t* src, int64_t src_len, uint8_t* dst,
+                          int64_t dst_size) {
+  const uint8_t* ip = src;
+  const uint8_t* iend = src + src_len;
+  uint8_t* op = dst;
+  uint8_t* const oend = dst + dst_size;
+  if (src_len == 0) return dst_size == 0 ? 0 : -1;
+  while (ip < iend) {
+    const unsigned token = *ip++;
+    int64_t lit = token >> 4;
+    if (lit == 15) {
+      unsigned b;
+      do {
+        if (ip >= iend) return -1;
+        b = *ip++;
+        lit += b;
+      } while (b == 255);
+    }
+    if (lit > iend - ip || lit > oend - op) return -1;
+    std::memcpy(op, ip, lit);
+    ip += lit;
+    op += lit;
+    if (ip == iend) break;  // final sequence carries literals only
+    if (iend - ip < 2) return -1;
+    const int64_t offset = ip[0] | (static_cast<int64_t>(ip[1]) << 8);
+    ip += 2;
+    if (offset == 0 || offset > op - dst) return -1;
+    int64_t mlen = (token & 15) + 4;
+    if ((token & 15) == 15) {
+      unsigned b;
+      do {
+        if (ip >= iend) return -1;
+        b = *ip++;
+        mlen += b;
+      } while (b == 255);
+    }
+    if (mlen > oend - op) return -1;
+    const uint8_t* match = op - offset;
+    if (offset >= mlen) {
+      std::memcpy(op, match, mlen);
+    } else {
+      // Overlapping match (period `offset` repetition). Forward byte
+      // order is the format's semantics; widen by doubling so short
+      // periods (ubiquitous in f32 volume data) cost O(log) memcpys,
+      // not one byte-copy each. pos stays a multiple of `offset`, so
+      // every copy reads phase-0 pattern bytes strictly before its
+      // destination.
+      int64_t pos = 0;
+      while (pos < mlen) {
+        const int64_t c = std::min(pos + offset, mlen - pos);
+        std::memcpy(op + pos, match, c);
+        pos += c;
+      }
+    }
+    op += mlen;
+  }
+  return op == oend ? dst_size : -1;
+}
+
+int vq_version() { return 2; }
 
 }  // extern "C"

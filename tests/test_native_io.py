@@ -101,3 +101,100 @@ def test_tsan_clean(tmp_path):
                               "PATH": "/usr/bin:/bin"})
     assert run.returncode == 0, run.stderr + run.stdout
     assert "clean" in run.stdout
+
+
+# ---------------------------------------------------------------------------
+# LZ4 block codec (v5 payload frames)
+# ---------------------------------------------------------------------------
+
+def _lz4_payloads(rng):
+    """Representative v5 frame payloads: delta origins + indices, plus
+    overlap-heavy and incompressible extremes."""
+    n = 500
+    deltas = np.zeros((n, 3), np.int32)
+    deltas[:, 2] = 8
+    idx = rng.integers(0, 64, (n, 64)).astype(np.uint8)
+    return [
+        b"",
+        b"x",
+        deltas.tobytes() + idx.tobytes(),
+        bytes(10000),                      # period-1 overlap
+        b"abcd" * 2500,                    # period-4 overlap
+        rng.integers(0, 256, 10000).astype(np.uint8).tobytes(),  # random
+        (b"0123456789abcdef" * 700)[:10007],
+    ]
+
+
+def test_lz4_roundtrip_both_backends(rng, monkeypatch):
+    for data in _lz4_payloads(rng):
+        blob = native_io.lz4_compress(data)
+        assert native_io.lz4_decompress(blob, len(data)) == data
+
+
+@requires_native
+def test_lz4_native_python_cross(rng, monkeypatch):
+    """Native blobs decode under the pure-Python codec and vice versa."""
+    if native_io._lib_v2() is None:
+        pytest.skip("stale native lib without lz4")
+    payloads = _lz4_payloads(rng)
+    native_blobs = [native_io.lz4_compress(d) for d in payloads]
+    monkeypatch.setattr(native_io, "_lib_v2", lambda: None)
+    py_blobs = [native_io.lz4_compress(d) for d in payloads]
+    for d, blob in zip(payloads, native_blobs):
+        assert native_io.lz4_decompress(blob, len(d)) == d
+    monkeypatch.undo()
+    for d, blob in zip(payloads, py_blobs):
+        assert native_io.lz4_decompress(blob, len(d)) == d
+
+
+@requires_native
+def test_lz4_cross_system_liblz4(rng):
+    """The native C++ codec against real liblz4 (the independent producer/
+    consumer): our blobs decode under LZ4_decompress_safe and
+    LZ4_compress_default blobs decode under ours."""
+    import ctypes
+    import ctypes.util
+
+    if native_io._lib_v2() is None:
+        pytest.skip("stale native lib without lz4")
+    name = ctypes.util.find_library("lz4") or "liblz4.so.1"
+    try:
+        ref = ctypes.CDLL(name)
+    except OSError:
+        pytest.skip("system liblz4 not present")
+    ref.LZ4_compress_default.restype = ctypes.c_int
+    ref.LZ4_compress_default.argtypes = [
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int, ctypes.c_int]
+    ref.LZ4_decompress_safe.restype = ctypes.c_int
+    ref.LZ4_decompress_safe.argtypes = [
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int, ctypes.c_int]
+
+    for data in _lz4_payloads(rng):
+        if not data:
+            continue
+        ours = native_io.lz4_compress(data)
+        buf = ctypes.create_string_buffer(len(data))
+        k = ref.LZ4_decompress_safe(ours, buf, len(ours), len(data))
+        assert k == len(data) and buf.raw[:k] == data
+
+        cap = len(data) + len(data) // 255 + 64
+        cbuf = ctypes.create_string_buffer(cap)
+        k = ref.LZ4_compress_default(data, cbuf, len(data), cap)
+        assert k > 0
+        assert native_io.lz4_decompress(cbuf.raw[:k], len(data)) == data
+
+
+def test_lz4_malformed_raises(rng):
+    data = rng.integers(0, 256, 1000).astype(np.uint8).tobytes()
+    blob = native_io.lz4_compress(data)
+    with pytest.raises(ValueError):
+        native_io.lz4_decompress(blob, len(data) + 1)  # wrong size
+    with pytest.raises(ValueError):
+        native_io.lz4_decompress(b"\xff\xff\xff", 100)  # truncated lengths
+    bad = bytearray(blob)
+    bad[0] ^= 0xF0
+    try:
+        out = native_io.lz4_decompress(bytes(bad), len(data))
+        assert len(out) == len(data)  # decoded-but-different is acceptable
+    except ValueError:
+        pass

@@ -159,7 +159,8 @@ def _cmd_encode(args) -> int:
                            compute_dtype=args.compute_dtype,
                            data_parallel=args.data_parallel)
     stats = api.encode(grids, codec, args.output, progress=args.verbose,
-                       format_version=args.format_version)
+                       format_version=args.format_version,
+                       compression=args.v5_codec)
     print(json.dumps({"grids": len(grids), **{k: round(v, 2) if isinstance(v, float)
                                               else v for k, v in stats.items()}}))
     return 0
@@ -528,6 +529,11 @@ def main(argv=None) -> int:
                     help="container version: default auto (3, or 4 for "
                          "K>256); 5 adds payload compression (~1.5x "
                          "smaller, not readable by the reference runtime)")
+    pe.add_argument("--v5-codec", default="zlib",
+                    choices=["zlib", "lzma", "lz4"],
+                    help="v5 payload codec (with --format-version 5): zlib "
+                         "for the smallest files, lz4 for several-fold "
+                         "faster reads")
     pe.add_argument("-v", "--verbose", action="store_true")
     pe.set_defaults(func=_cmd_encode)
 

@@ -56,9 +56,10 @@ FORMAT_VERSION = 3
 # This lifts the uint8 ceiling the reference hit with its 4096-code vec3
 # configuration (which could not round-trip v3 at all).
 FORMAT_VERSION_V4 = 4
-# v5 extension (ours): v4's index widths plus per-batch DEFLATE/LZMA
-# compression of the payload. Grid metadata gains one codec byte
-# (0=zlib, 1=lzma) after totalBlocks; the chunk stream is replaced by
+# v5 extension (ours): v4's index widths plus per-batch compression of
+# the payload. Grid metadata gains one codec byte
+# (0=zlib, 1=lzma, 2=lz4 block format) after totalBlocks; the chunk
+# stream is replaced by
 # frames of [u32 nChunks, u64 compBytes, blob] where each blob
 # decompresses to a delta-encoded origins block (i32[n,3]; first row
 # absolute, then row deltas — leaf origins are near-sorted lattice points,
@@ -69,7 +70,7 @@ FORMAT_VERSION_V4 = 4
 FORMAT_VERSION_V5 = 5
 SUPPORTED_VERSIONS = (FORMAT_VERSION, FORMAT_VERSION_V4, FORMAT_VERSION_V5)
 
-V5_CODECS = {"zlib": 0, "lzma": 1}
+V5_CODECS = {"zlib": 0, "lzma": 1, "lz4": 2}
 
 
 def _v5_compress(codec_id: int, raw: bytes) -> bytes:
@@ -77,19 +78,35 @@ def _v5_compress(codec_id: int, raw: bytes) -> bytes:
         import zlib
 
         return zlib.compress(raw, 9)
-    import lzma
+    if codec_id == 1:
+        import lzma
 
-    return lzma.compress(raw, preset=6)
+        return lzma.compress(raw, preset=6)
+    from vqvdb_tpu.runtime import native_io
+
+    return native_io.lz4_compress(raw)
 
 
-def _v5_decompress(codec_id: int, blob: bytes) -> bytes:
-    if codec_id == 0:
-        import zlib
+def _v5_decompress(codec_id: int, blob: bytes, raw_size: int) -> bytes:
+    """Decompress one frame blob; raw_size is the exact expected output
+    size (known from the frame's chunk count — LZ4 blocks carry no size
+    of their own). Raises FormatError on malformed payloads."""
+    try:
+        if codec_id == 0:
+            import zlib
 
-        return zlib.decompress(blob)
-    import lzma
+            return zlib.decompress(blob)
+        if codec_id == 1:
+            import lzma
 
-    return lzma.decompress(blob)
+            return lzma.decompress(blob)
+        from vqvdb_tpu.runtime import native_io
+
+        return native_io.lz4_decompress(blob, raw_size)
+    except FormatError:
+        raise
+    except Exception as e:
+        raise FormatError(f"v5 frame payload failed to decompress: {e}") from e
 
 
 def _delta_encode_origins(origins: np.ndarray) -> np.ndarray:
@@ -462,9 +479,11 @@ class VqvdbReader:
             remaining = meta.total_blocks - self._blocks_read
             if n == 0 or n > remaining:
                 raise FormatError("v5 frame chunk count out of range.")
+            raw_size = n * (ORIGIN_BYTES + meta.block_data_size)
             raw = _v5_decompress(self._grid_codec_id,
-                                 self._read_exact(comp, "v5 frame payload"))
-            if len(raw) != n * (ORIGIN_BYTES + meta.block_data_size):
+                                 self._read_exact(comp, "v5 frame payload"),
+                                 raw_size)
+            if len(raw) != raw_size:
                 raise FormatError("v5 frame decompressed to the wrong size.")
             deltas = np.frombuffer(raw, np.int32,
                                    count=3 * n).reshape(n, 3)

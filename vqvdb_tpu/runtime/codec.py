@@ -332,9 +332,13 @@ class VQCodec:
         *,
         progress: bool = False,
         format_version: Optional[int] = None,
+        compression: str = "zlib",
     ) -> dict:
         """Encode grids and stream them to a `.vqvdb` v3 file.
 
+        compression selects the v5 payload codec (zlib / lzma / lz4;
+        ignored for v3/v4): zlib for the smallest files, lz4 for
+        several-fold faster reads at a modestly lower ratio.
         Returns a stats dict (leaves, seconds, leaves/sec, bytes written).
         """
         if isinstance(grids, LeafGrid):
@@ -347,7 +351,8 @@ class VQCodec:
             format_version = 3 if self.mcfg.num_embeddings <= 256 else 4
         t0 = time.perf_counter()
         total = 0
-        with VqvdbWriter(out_path, version=format_version) as w:
+        with VqvdbWriter(out_path, version=format_version,
+                         compression=compression) as w:
             for grid in grids:
                 meta = GridMetadata(
                     name=grid.name,

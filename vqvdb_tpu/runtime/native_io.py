@@ -58,8 +58,18 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.vq_scatter_leaves.argtypes = [f32p, i32p, i32p, i64, i64, i64, i64,
                                       i64, f32p]
     lib.vq_version.restype = ctypes.c_int
+    if lib.vq_version() >= 2:  # LZ4 entry points (a stale .so lacks them)
+        lib.vq_lz4_compress.argtypes = [u8p, i64, u8p, i64]
+        lib.vq_lz4_compress.restype = i64
+        lib.vq_lz4_decompress.argtypes = [u8p, i64, u8p, i64]
+        lib.vq_lz4_decompress.restype = i64
     _lib = lib
     return _lib
+
+
+def _lib_v2() -> Optional[ctypes.CDLL]:
+    lib = _load()
+    return lib if lib is not None and lib.vq_version() >= 2 else None
 
 
 def backend() -> str:
@@ -106,6 +116,49 @@ def deinterleave(raw: np.ndarray, block: int) -> Tuple[np.ndarray, np.ndarray]:
     origins = chunks[:, :ORIGIN_BYTES].reshape(-1).view(np.int32).reshape(n, 3).copy()
     indices = chunks[:, ORIGIN_BYTES:].copy()
     return indices, origins
+
+
+# ---------------------------------------------------------------------------
+# LZ4 block codec (v5 .vqvdb payload frames)
+# ---------------------------------------------------------------------------
+
+def lz4_compress(data: bytes) -> bytes:
+    """LZ4 block compress (native C++ when built, else the spec-derived
+    pure-Python codec in vdb/blosc.py — identical block format, both
+    cross-validated against system liblz4)."""
+    lib = _lib_v2()
+    if lib is not None and len(data):
+        src = np.frombuffer(data, np.uint8)
+        cap = len(data) + len(data) // 255 + 16
+        out = np.empty(cap, np.uint8)
+        k = lib.vq_lz4_compress(_p(src, ctypes.c_uint8), len(data),
+                                _p(out, ctypes.c_uint8), cap)
+        if k > 0:
+            return out[:k].tobytes()
+    from vqvdb_tpu.vdb.blosc import lz4_compress as py_compress
+
+    return py_compress(data)
+
+
+def lz4_decompress(blob: bytes, dst_size: int) -> bytes:
+    """LZ4 block decompress to exactly dst_size bytes; raises ValueError on
+    malformed input (both paths are bounds-checked)."""
+    lib = _lib_v2()
+    if lib is not None and len(blob) and dst_size:
+        src = np.frombuffer(blob, np.uint8)
+        out = np.empty(dst_size, np.uint8)
+        k = lib.vq_lz4_decompress(_p(src, ctypes.c_uint8), len(blob),
+                                  _p(out, ctypes.c_uint8), dst_size)
+        if k != dst_size:
+            raise ValueError("lz4: malformed block")
+        return out.tobytes()
+    from vqvdb_tpu.vdb.blosc import FormatError
+    from vqvdb_tpu.vdb.blosc import lz4_decompress as py_decompress
+
+    try:
+        return py_decompress(blob, dst_size)
+    except FormatError as e:
+        raise ValueError(str(e)) from e
 
 
 # ---------------------------------------------------------------------------
