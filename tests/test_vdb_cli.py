@@ -125,3 +125,41 @@ def test_cli_extract_vdb_to_npy(tmp_path):
     order_b = np.lexsort(back.origins.T)
     np.testing.assert_array_equal(g.origins[order_a], back.origins[order_b])
     np.testing.assert_array_equal(g.leaves[order_a], back.leaves[order_b])
+
+
+def test_cli_vdbinfo(tmp_path, rng, capsys):
+    """`vdbinfo` summarizes a .vdb from descriptors + metamaps alone
+    (trees skipped via grid offsets): names, types, compression, class,
+    bbox, voxel counts, half-float flag."""
+    from vqvdb_tpu.vdb.openvdb_io import (COMPRESS_ACTIVE_MASK,
+                                          COMPRESS_BLOSC, write_vdb)
+    from vqvdb_tpu.vdb.openvdb_io import read_vdb_info
+    from vqvdb_tpu.train.synthetic import smoke_grid, velocity_grid
+    from vqvdb_tpu.vdb.openvdb_io import leafgrid_to_vdbgrid
+
+    d = leafgrid_to_vdbgrid(smoke_grid(32, seed=7))
+    d.name = "density"
+    d.grid_class = "fog volume"
+    v = leafgrid_to_vdbgrid(velocity_grid(32, seed=7))
+    v.name = "vel"
+    path = tmp_path / "scene.vdb"
+    write_vdb(path, [d, v], compression=COMPRESS_BLOSC | COMPRESS_ACTIVE_MASK,
+              half=True)
+
+    info = read_vdb_info(path)
+    assert info["has_grid_offsets"] and info["file_version"] >= 222
+    by_name = {g["name"]: g for g in info["grids"]}
+    assert by_name["density"]["type"] == "Tree_float_5_4_3"
+    assert by_name["vel"]["type"] == "Tree_vec3s_5_4_3"
+    assert by_name["density"]["half_float"] and by_name["vel"]["half_float"]
+    assert set(by_name["density"]["compression"]) == {"blosc", "active-mask"}
+    assert by_name["density"]["class"] == "fog volume"
+    got = by_name["density"]["active_voxels"]
+    want = int(np.unpackbits(d.leaf_masks).sum())
+    assert got == want
+    assert len(by_name["density"]["bbox_min"]) == 3
+
+    rc = cli_main(["vdbinfo", str(path)])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert [g["name"] for g in out["grids"]] == ["density", "vel"]

@@ -203,6 +203,14 @@ def _cmd_decode(args) -> int:
     return 0
 
 
+def _cmd_vdbinfo(args) -> int:
+    """Inspect an OpenVDB .vdb file without decoding its trees."""
+    from vqvdb_tpu.vdb.openvdb_io import read_vdb_info
+
+    print(json.dumps(read_vdb_info(args.input), indent=2))
+    return 0
+
+
 def _cmd_info(args) -> int:
     from vqvdb_tpu.format.vqvdb import VqvdbReader
 
@@ -557,6 +565,13 @@ def main(argv=None) -> int:
     pi = sub.add_parser("info", help="Inspect a .vqvdb file.")
     pi.add_argument("input")
     pi.set_defaults(func=_cmd_info)
+
+    pvi = sub.add_parser("vdbinfo",
+                         help="Inspect an OpenVDB .vdb file (grids, "
+                              "types, compression, bbox) without "
+                              "decoding trees.")
+    pvi.add_argument("input")
+    pvi.set_defaults(func=_cmd_vdbinfo)
 
     pb = sub.add_parser("bench", help="Run the decode-throughput benchmark.")
     pb.set_defaults(func=_cmd_bench)

@@ -597,6 +597,123 @@ def _local_to_offset(xyz: np.ndarray, log2dim: int) -> np.ndarray:
 # Reader
 # ---------------------------------------------------------------------------
 
+_COMPRESS_NAMES = {COMPRESS_ZIP: "zip", COMPRESS_ACTIVE_MASK: "active-mask",
+                   COMPRESS_BLOSC: "blosc"}
+
+
+def _compression_names(flags: int) -> List[str]:
+    return ([n for bit, n in _COMPRESS_NAMES.items() if flags & bit]
+            or ["none"])
+
+
+def read_vdb_info(path: PathLike) -> dict:
+    """Header and per-grid summary of a .vdb file.
+
+    When the archive carries grid offsets (every file OpenVDB/Houdini
+    writes, and ours), each grid's tree is skipped via its descriptor
+    end position, so inspection stays cheap on multi-GB assets: the
+    summary comes from the grid metamap (file_bbox_*, file_voxel_count —
+    written by OpenVDB at save time) rather than a tree parse. This is
+    the repo's counterpart of OpenVDB's `vdb_print` inspection, which
+    the reference gets for free from the library it links
+    (ref: src/Utils/Utils.hpp:361-403 loads via io::File).
+    Offset-less streams fall back to a full parse.
+    """
+    buf = Path(path).read_bytes()
+    cur = _Cursor(buf)
+    magic = cur.i64()
+    if magic != OPENVDB_MAGIC:
+        raise FormatError(
+            f"not an OpenVDB file: magic {magic:#x} != {OPENVDB_MAGIC:#x}")
+    version = cur.u32()
+    if version < MIN_SUPPORTED_VERSION:
+        raise VersionError(
+            f"OpenVDB file version {version} predates {MIN_SUPPORTED_VERSION}")
+    lib_major, lib_minor = cur.u32(), cur.u32()
+    has_offsets = bool(cur.u8())
+    uuid = bytes(cur.take(36)).decode("ascii", errors="replace")
+    _read_metamap(cur)  # file-level metadata (validity check)
+    grid_count = cur.u32()
+    if grid_count > 1 << 16:
+        raise FormatError(f"implausible grid count {grid_count}")
+
+    info = {
+        "file_version": version,
+        "library_version": f"{lib_major}.{lib_minor}",
+        "uuid": uuid,
+        "has_grid_offsets": has_offsets,
+        "file_bytes": len(buf),
+        "grids": [],
+    }
+
+    def _meta_val(meta, key):
+        v = meta.get(key)
+        if v is None:
+            return None
+        val = v[1]
+        if isinstance(val, np.ndarray):
+            return [int(x) if float(x).is_integer() else float(x)
+                    for x in val.reshape(-1)]
+        return val
+
+    for _ in range(grid_count):
+        unique_name = cur.string()
+        grid_type = cur.string()
+        half = grid_type.endswith(HALF_SUFFIX)
+        if half:
+            grid_type = grid_type[: -len(HALF_SUFFIX)]
+        instance_parent = cur.string()
+        end_pos = None
+        if has_offsets:
+            cur.i64()  # gridPos
+            cur.i64()  # blockPos
+            end_pos = cur.i64()
+        entry = {
+            "name": unique_name.split(_NAME_SEP)[0],
+            "type": grid_type,
+            "half_float": half,
+            "supported": grid_type in _GRID_TYPES,
+        }
+        if instance_parent:
+            entry["instance_of"] = instance_parent.split(_NAME_SEP)[0]
+            if version >= 222:
+                cur.u32()  # compression flags (no tree follows)
+            meta = _read_metamap(cur)
+            _read_transform(cur)
+            entry["class"] = _meta_val(meta, "class") or "unknown"
+            info["grids"].append(entry)
+            continue
+        if not entry["supported"]:
+            if end_pos is None:
+                raise FormatError(
+                    f"cannot skip unsupported grid type '{grid_type}' in a "
+                    "stream without grid offsets")
+            cur.pos = end_pos
+            info["grids"].append(entry)
+            continue
+        flags = cur.u32()
+        meta = _read_metamap(cur)
+        _read_transform(cur)
+        entry["compression"] = _compression_names(flags)
+        entry["class"] = _meta_val(meta, "class") or "unknown"
+        for key, out_key in (("file_voxel_count", "active_voxels"),
+                             ("file_bbox_min", "bbox_min"),
+                             ("file_bbox_max", "bbox_max"),
+                             ("file_mem_bytes", "mem_bytes")):
+            v = _meta_val(meta, key)
+            if v is not None:
+                entry[out_key] = v
+        if end_pos is not None:
+            cur.pos = end_pos
+        else:
+            value_type, comps = _GRID_TYPES[grid_type]
+            g = _read_tree(cur, value_type, comps, half, flags)
+            entry["leaves"] = g.num_leaves
+            entry.setdefault("active_voxels", _active_voxels(g))
+        info["grids"].append(entry)
+    return info
+
+
 def read_vdb(path: PathLike) -> List[VdbGrid]:
     """Parse a .vdb file into VdbGrid objects (FloatGrid/Vec3fGrid only)."""
     buf = Path(path).read_bytes()
