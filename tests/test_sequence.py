@@ -29,3 +29,51 @@ def test_sequence_roundtrip(tmp_path):
     for frame, orig in zip(decoded, frames):
         assert frame[0].num_leaves == orig.num_leaves
         np.testing.assert_array_equal(frame[0].origins, orig.origins)
+
+
+def test_cli_sequence_roundtrip(tmp_path, capsys):
+    """encode-seq / decode-seq CLI over per-frame .vdb assets."""
+    import json
+
+    from vqvdb_tpu.cli import main as cli_main
+    from vqvdb_tpu.core.artifact import save_model
+    from vqvdb_tpu.vdb.openvdb_io import write_vdb_leafgrids
+
+    cfg = ModelConfig(embedding_dim=32, num_embeddings=64)
+    model_path = tmp_path / "m.vqmodel"
+    save_model(model_path, init_vqvae_params(jax.random.key(0), cfg), cfg)
+
+    in_dir = tmp_path / "frames"
+    in_dir.mkdir()
+    originals = []
+    for i in range(3):
+        g = smoke_grid(24, seed=40 + i)
+        g.name = "density"
+        write_vdb_leafgrids(in_dir / f"f{i}.vdb", [g])
+        originals.append(g)
+
+    seq_dir = tmp_path / "seq"
+    rc = cli_main(["encode-seq", str(in_dir), str(seq_dir),
+                   "--model", str(model_path), "--batch-size", "32",
+                   "--compute-dtype", "float32"])
+    assert rc == 0
+    enc = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert enc["frames"] == 3
+    assert enc["leaves"] == sum(g.num_leaves for g in originals)
+    assert sorted(p.name for p in seq_dir.glob("*.vqvdb")) == [
+        f"frame_{i:04d}.vqvdb" for i in range(3)]
+
+    out_dir = tmp_path / "recon"
+    rc = cli_main(["decode-seq", str(seq_dir), str(out_dir),
+                   "--model", str(model_path), "--batch-size", "32",
+                   "--compute-dtype", "float32", "--vdb"])
+    assert rc == 0
+    dec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert dec["frames"] == 3
+    from vqvdb_tpu.vdb.openvdb_io import read_vdb_leafgrids
+
+    for i, g in enumerate(originals):
+        (r,) = read_vdb_leafgrids(out_dir / f"frame_{i:04d}.vdb")
+        assert r.name == "density"
+        np.testing.assert_array_equal(np.sort(r.origins, axis=0),
+                                      np.sort(g.origins, axis=0))

@@ -203,6 +203,66 @@ def _cmd_decode(args) -> int:
     return 0
 
 
+def _cmd_encode_seq(args) -> int:
+    """Encode an animated sequence: one .vqvdb per input frame file, the
+    compiled codec reused across frames (api.encode_sequence — the
+    reference's per-frame Houdini cook loop, amortized)."""
+    from vqvdb_tpu import api
+
+    files = sorted(Path(args.input_dir).glob(args.glob))
+    if not files:
+        print(f"error: no files match {args.glob} in {args.input_dir}",
+              file=sys.stderr)
+        return 2
+    frames = []
+    for f in files:
+        grids = _load_grids(f, args.grid)
+        if not grids:
+            print(f"error: no grids matched in {f}", file=sys.stderr)
+            return 2
+        frames.append(grids)
+    codec = api.make_codec(args.model, batch_size=args.batch_size,
+                           compute_dtype=args.compute_dtype,
+                           data_parallel=args.data_parallel)
+    stats = api.encode_sequence(frames, codec, args.output_dir,
+                                pattern=args.pattern)
+    stats["inputs"] = [f.name for f in files]
+    print(json.dumps({k: round(v, 4) if isinstance(v, float) else v
+                      for k, v in stats.items()}))
+    return 0
+
+
+def _cmd_decode_seq(args) -> int:
+    """Decode a directory of per-frame .vqvdb files into per-frame .vdb
+    assets or npy leaf dirs."""
+    from vqvdb_tpu import api
+
+    codec = api.make_codec(args.model, batch_size=args.batch_size,
+                           compute_dtype=args.compute_dtype,
+                           data_parallel=args.data_parallel)
+    frames, stats = api.decode_sequence(args.input_dir, codec,
+                                        pattern=args.pattern)
+    if not frames:
+        print(f"error: no files match {args.pattern} in {args.input_dir}",
+              file=sys.stderr)
+        return 2
+    out_dir = Path(args.output_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    for i, grids in enumerate(frames):
+        if args.vdb:
+            from vqvdb_tpu.vdb.openvdb_io import write_vdb_leafgrids
+
+            write_vdb_leafgrids(out_dir / f"frame_{i:04d}.vdb", grids)
+        else:
+            frame_dir = out_dir / f"frame_{i:04d}"
+            frame_dir.mkdir(exist_ok=True)
+            for g in grids:
+                g.save_npy(frame_dir / f"{g.name}.npy")
+    print(json.dumps({k: round(v, 4) if isinstance(v, float) else v
+                      for k, v in stats.items()}))
+    return 0
+
+
 def _cmd_vdbinfo(args) -> int:
     """Inspect an OpenVDB .vdb file without decoding its trees."""
     from vqvdb_tpu.vdb.openvdb_io import read_vdb_info
@@ -565,6 +625,37 @@ def main(argv=None) -> int:
     pi = sub.add_parser("info", help="Inspect a .vqvdb file.")
     pi.add_argument("input")
     pi.set_defaults(func=_cmd_info)
+
+    pes = sub.add_parser("encode-seq",
+                         help="Encode an animated sequence (one .vqvdb "
+                              "per frame, compiled codec reused).")
+    pes.add_argument("input_dir", help="directory of per-frame assets")
+    pes.add_argument("output_dir")
+    pes.add_argument("--model", required=True)
+    pes.add_argument("--glob", default="*.vdb",
+                     help="frame file pattern inside input_dir "
+                          "(default *.vdb; also accepts *.npy)")
+    pes.add_argument("--grid", default=None)
+    pes.add_argument("--pattern", default="frame_{:04d}.vqvdb",
+                     help="output filename template")
+    pes.add_argument("--batch-size", type=int, default=4096)
+    pes.add_argument("--compute-dtype", default="bfloat16")
+    pes.add_argument("--data-parallel", action="store_true")
+    pes.set_defaults(func=_cmd_encode_seq)
+
+    pds = sub.add_parser("decode-seq",
+                         help="Decode a directory of per-frame .vqvdb "
+                              "files.")
+    pds.add_argument("input_dir")
+    pds.add_argument("output_dir")
+    pds.add_argument("--model", required=True)
+    pds.add_argument("--pattern", default="frame_*.vqvdb")
+    pds.add_argument("--vdb", action="store_true",
+                     help="write one .vdb per frame instead of npy dirs")
+    pds.add_argument("--batch-size", type=int, default=4096)
+    pds.add_argument("--compute-dtype", default="bfloat16")
+    pds.add_argument("--data-parallel", action="store_true")
+    pds.set_defaults(func=_cmd_decode_seq)
 
     pvi = sub.add_parser("vdbinfo",
                          help="Inspect an OpenVDB .vdb file (grids, "
