@@ -28,7 +28,7 @@ def test_trained_model_quality():
     # Current artifact scores 43.4 dB here; a 42 dB floor leaves ~1.4 dB
     # retrain headroom while catching kernel/numerics regressions that the
     # old 38 dB bar would have let through.
-    assert rep["psnr_mean"] > 42.0, f"PSNR regressed: {rep['psnr_mean']:.2f} dB"
+    assert rep["psnr_mean"] > 44.0, f"PSNR regressed: {rep['psnr_mean']:.2f} dB"
     assert rep["mse"] < 2e-4
     cb = codebook_report(rep["indices"], codec.mcfg.num_embeddings)
     assert cb["active_codes"] > 100  # healthy codebook utilization
@@ -63,8 +63,8 @@ def test_scalar_smoke_quality_50k_anchored():
 
     rep = _family_eval(smoke_grid, MODEL, (1000, 1001, 1002))
     assert rep["num_blocks"] > 900
-    assert rep["psnr_mean"] > 46.0, f"smoke mean {rep['psnr_mean']:.2f} dB"
-    assert rep["psnr_p5"] > 40.0, f"smoke p5 {rep['psnr_p5']:.2f} dB"
+    assert rep["psnr_mean"] > 47.5, f"smoke mean {rep['psnr_mean']:.2f} dB"
+    assert rep["psnr_p5"] > 42.0, f"smoke p5 {rep['psnr_p5']:.2f} dB"
 
 
 def test_scalar_levelset_quality_50k_anchored():
@@ -72,8 +72,8 @@ def test_scalar_levelset_quality_50k_anchored():
 
     rep = _family_eval(levelset_grid, MODEL, (1000, 1001, 1002))
     assert rep["num_blocks"] > 1000
-    assert rep["psnr_mean"] > 30.5, f"levelset mean {rep['psnr_mean']:.2f} dB"
-    assert rep["psnr_p5"] > 18.0, f"levelset p5 {rep['psnr_p5']:.2f} dB"
+    assert rep["psnr_mean"] > 32.0, f"levelset mean {rep['psnr_mean']:.2f} dB"
+    assert rep["psnr_p5"] > 19.5, f"levelset p5 {rep['psnr_p5']:.2f} dB"
 
 
 @pytest.mark.slow
@@ -84,8 +84,8 @@ def test_vec3_quality_50k_anchored():
 
     rep = _family_eval(velocity_grid, VEC3_MODEL, (1000,))
     assert rep["num_blocks"] > 300
-    assert rep["psnr_mean"] > 30.0, f"vec3 mean {rep['psnr_mean']:.2f} dB"
-    assert rep["psnr_p5"] > 20.5, f"vec3 p5 {rep['psnr_p5']:.2f} dB"
+    assert rep["psnr_mean"] > 31.0, f"vec3 mean {rep['psnr_mean']:.2f} dB"
+    assert rep["psnr_p5"] > 21.5, f"vec3 p5 {rep['psnr_p5']:.2f} dB"
 
 
 def test_trained_model_file_roundtrip(tmp_path):
