@@ -52,11 +52,27 @@ def main() -> None:
 
     from vqvdb_tpu import api
     from vqvdb_tpu.train.synthetic import smoke_grid
+    from vqvdb_tpu.vdb.grid import LeafGrid
 
-    # A multi-grid scene big enough that read time is measurable.
-    grids = [smoke_grid(96, seed=900 + s) for s in range(2)]
-    for i, g in enumerate(grids):
-        g.name = f"density_{i}"
+    # A scene big enough that read time is well above timer noise:
+    # ~50k leaves of real smoke content (reads are then multi-MB).
+    data_dir = ROOT / "data_scalar_r2"
+    if data_dir.exists():
+        chunks = []
+        for p in sorted(data_dir.glob("vol_*.npy")):
+            chunks.append(np.load(p).astype(np.float32))
+            if sum(c.shape[0] for c in chunks) >= 50_000:
+                break
+        leaves = np.concatenate(chunks)[:50_000]
+        n = leaves.shape[0]
+        side = int(np.ceil(n ** (1 / 3)))
+        origins = (np.stack(np.unravel_index(np.arange(n), (side,) * 3), 1)
+                   * 8).astype(np.int32)
+        grids = [LeafGrid("density", origins, leaves)]
+    else:
+        grids = [smoke_grid(96, seed=900 + s) for s in range(2)]
+        for i, g in enumerate(grids):
+            g.name = f"density_{i}"
     total = sum(g.num_leaves for g in grids)
     codec = api.make_codec(str(ROOT / "models" / "scalar.vqmodel"))
 
