@@ -149,3 +149,49 @@ def decode_sequence(
         "seconds_per_frame": per_frame,
         "mean_frame_seconds": sum(per_frame) / max(len(per_frame), 1),
     }
+
+
+def decode_dense(
+    in_path: PathLike,
+    model: Union[PathLike, Tuple[VQVAEParams, ModelConfig], VQCodec],
+    *,
+    batch_size: int = 4096,
+    background: float = 0.0,
+) -> List[dict]:
+    """Decode a `.vqvdb` file into device-resident dense volumes.
+
+    Returns [{name, dense (jax.Array [X,Y,Z,C], still in HBM), lo,
+    transform}] — the zero-host-scatter path for on-device consumers
+    (docs/DP_SCALING.md fix (b)); `np.asarray(d["dense"])` materializes.
+    """
+    from vqvdb_tpu.runtime.dense import decode_file_to_dense
+
+    codec = model if isinstance(model, VQCodec) else make_codec(
+        model, batch_size=batch_size)
+    return decode_file_to_dense(codec, in_path, background=background)
+
+
+def encode_dense(
+    dense,
+    model: Union[PathLike, Tuple[VQVAEParams, ModelConfig], VQCodec],
+    out_path: PathLike,
+    *,
+    name: str = "density",
+    batch_size: int = 4096,
+    origin: Sequence[int] = (0, 0, 0),
+    background: float = 0.0,
+    tolerance: float = 0.0,
+    format_version: Optional[int] = None,
+    compression: str = "zlib",
+) -> dict:
+    """Sparsify + encode a dense volume (numpy or device-resident
+    jax.Array) straight to a `.vqvdb` file; the volume never visits the
+    host (see runtime/dense.py)."""
+    from vqvdb_tpu.runtime.dense import encode_dense_to_file
+
+    codec = model if isinstance(model, VQCodec) else make_codec(
+        model, batch_size=batch_size)
+    return encode_dense_to_file(
+        codec, dense, out_path, name=name, origin=origin,
+        background=background, tolerance=tolerance,
+        format_version=format_version, compression=compression)
