@@ -45,6 +45,7 @@ def _cmd_train(args) -> int:
         in_channels=args.in_channels,
         embedding_dim=args.embedding_dim,
         num_embeddings=args.num_embeddings,
+        num_quantizers=args.num_quantizers,
     )
     tcfg = TrainConfig(
         epochs=args.epochs,
@@ -389,6 +390,7 @@ def _cmd_export_checkpoint(args) -> int:
         in_channels=args.in_channels,
         embedding_dim=args.embedding_dim,
         num_embeddings=args.num_embeddings,
+        num_quantizers=args.num_quantizers,
     )
     template = make_train_state(jax.random.key(0), mcfg, TrainConfig(), 1)
     manager = CheckpointManager(args.checkpoint_dir)
@@ -564,6 +566,10 @@ def main(argv=None) -> int:
     pt.add_argument("--batch-size", type=int, default=2048)
     pt.add_argument("--lr", type=float, default=1e-4)
     pt.add_argument("--num-embeddings", type=int, default=256)
+    pt.add_argument("--num-quantizers", type=int, default=1,
+                    help="residual-VQ stages: 1 = reference architecture; "
+                         "2+ = S bytes/latent-position quality tier "
+                         "(effective codebook K^S)")
     pt.add_argument("--embedding-dim", type=int, default=128)
     pt.add_argument("--in-channels", type=int, default=1, choices=[1, 3])
     pt.add_argument("--stride", type=int, default=1, help="dataset subsample stride")
@@ -708,6 +714,7 @@ def main(argv=None) -> int:
     px.add_argument("--in-channels", type=int, default=1, choices=[1, 3])
     px.add_argument("--embedding-dim", type=int, default=128)
     px.add_argument("--num-embeddings", type=int, default=256)
+    px.add_argument("--num-quantizers", type=int, default=1)
     px.set_defaults(func=_cmd_export_checkpoint)
 
     pxt = sub.add_parser(

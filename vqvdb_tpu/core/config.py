@@ -36,6 +36,14 @@ class ModelConfig:
     commitment_cost: float = 0.25
     ema_decay: float = 0.95
     ema_eps: float = 1e-4
+    # Residual-VQ stages. 1 = the reference architecture (single EMA
+    # codebook). S>1 quantizes the latent in S greedy residual stages
+    # (effective codebook K^S for S bytes/latent-position) — the quality
+    # tier the reference cannot express: its runtime and container are
+    # locked to one uint8 index per latent position
+    # (src/Utils/VQVDB_Reader.cpp). Files declare index shape (4,4,4,S),
+    # still a structurally valid v3 container.
+    num_quantizers: int = 1
 
     @property
     def variant(self) -> str:
@@ -46,6 +54,14 @@ class ModelConfig:
     @property
     def latent_shape(self) -> Tuple[int, int, int]:
         return (LATENT_DIM, LATENT_DIM, LATENT_DIM)
+
+    @property
+    def index_shape(self) -> Tuple[int, ...]:
+        """Shape of one leaf's index tensor as stored in files and returned
+        by encode: (4,4,4) single-stage, (4,4,4,S) residual-VQ."""
+        if self.num_quantizers == 1:
+            return self.latent_shape
+        return self.latent_shape + (self.num_quantizers,)
 
     @property
     def index_dtype(self):

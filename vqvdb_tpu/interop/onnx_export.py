@@ -28,6 +28,7 @@ from typing import Dict, List, Union
 import numpy as np
 
 from vqvdb_tpu.core.config import LATENT_DIM, ModelConfig
+from vqvdb_tpu.utils.errors import ArtifactError
 from vqvdb_tpu.interop import onnx_proto as P
 from vqvdb_tpu.interop.torch_export import export_state_dict
 from vqvdb_tpu.models.vqvae import VQVAEParams
@@ -210,6 +211,10 @@ def export_onnx(out_dir: Union[str, Path], params: VQVAEParams,
                 cfg: ModelConfig) -> Dict[str, str]:
     """Write encoder.onnx + decoder.onnx (the file names the reference
     runtime looks for) into out_dir; returns the paths."""
+    if cfg.num_quantizers != 1:
+        raise ArtifactError(
+            "ONNX export targets the reference runtime, which supports a "
+            "single quantizer stage; residual-VQ models cannot be exported")
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
     enc, dec = out / "encoder.onnx", out / "decoder.onnx"

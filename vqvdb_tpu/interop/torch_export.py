@@ -56,6 +56,10 @@ def _attn(out: Dict[str, np.ndarray], prefix: str, p: Mapping) -> None:
 
 def export_state_dict(params: VQVAEParams, cfg: ModelConfig) -> Dict[str, np.ndarray]:
     """VQVAEParams -> reference-keyed state_dict of float32 numpy arrays."""
+    if cfg.num_quantizers != 1:
+        raise ValueError(
+            "torch export targets the reference layout, which has a single "
+            "quantizer stage; residual-VQ models cannot be exported")
     sd: Dict[str, np.ndarray] = {}
     enc = params.encoder
     _conv(sd, "encoder.pre.0", enc["pre_conv"])

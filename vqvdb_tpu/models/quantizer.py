@@ -153,3 +153,133 @@ def reset_dead_codes(
     new_avg = jnp.where(dead[:, None], candidates, state.embed_avg)
     new_cs = jnp.where(dead, jnp.ones_like(state.cluster_size), state.cluster_size)
     return VQState(new_embed, new_cs, new_avg), jnp.sum(dead)
+
+
+# ---------------------------------------------------------------------------
+# Residual VQ (multi-stage) — the quality tier the reference cannot express
+# ---------------------------------------------------------------------------
+# The reference is architecturally locked to one quantizer stage and K<=256
+# (uint8 indices end-to-end: python/VQVAE_v2.py VectorQuantizerEMA is a
+# single codebook; src/Utils/VQVDB_Reader.cpp stores one byte per latent
+# position). Residual VQ quantizes the encoder latent in S successive
+# stages — stage s encodes the residual left by stages <s — giving an
+# effective codebook of K^S (65,536 at S=2, K=256) for S argmin GEMMs and
+# S bytes per latent position. The .vqvdb container carries it natively:
+# the index tensor is declared as latent shape (4,4,4,S), which is a
+# structurally valid v3 file (the format's latent shape is
+# dimension-count generic).
+#
+# State layout: the SAME VQState pytree, with a leading stage axis on
+# every leaf — embedding (S,K,D), cluster_size (S,K), embed_avg (S,K,D).
+# Artifact serialization, checkpointing, replication and donation all
+# work unchanged; single-stage code paths keep the (K,D) layout.
+
+
+def init_rvq_state(key, num_stages: int, num_embeddings: int,
+                   embedding_dim: int, dtype=jnp.float32) -> VQState:
+    """Stage-stacked VQState; each stage initialized like init_vq_state."""
+    states = [init_vq_state(k, num_embeddings, embedding_dim, dtype)
+              for k in jax.random.split(key, num_stages)]
+    return VQState(*(jnp.stack(leaves) for leaves in zip(*states)))
+
+
+def _stage(state: VQState, s: int) -> VQState:
+    return VQState(state.embedding[s], state.cluster_size[s],
+                   state.embed_avg[s])
+
+
+def rvq_indices(flat_z: jnp.ndarray, state: VQState) -> jnp.ndarray:
+    """[N,D] -> [N,S] stage indices (greedy residual argmin per stage)."""
+    res = flat_z.astype(jnp.float32)
+    idx = []
+    for s in range(state.embedding.shape[0]):
+        codebook = state.embedding[s]
+        i = nearest_indices(res, codebook)
+        idx.append(i)
+        res = res - dequantize(i, codebook.astype(jnp.float32))
+    return jnp.stack(idx, axis=-1)
+
+
+def rvq_dequantize(indices: jnp.ndarray, state: VQState,
+                   dtype=jnp.float32) -> jnp.ndarray:
+    """[N,S] stage indices -> [N,D] (sum of per-stage codewords)."""
+    out = None
+    for s in range(state.embedding.shape[0]):
+        q = dequantize(indices[..., s], state.embedding[s].astype(dtype))
+        out = q if out is None else out + q
+    return out
+
+
+def rvq_train_forward(
+    state: VQState,
+    z: jnp.ndarray,
+    commitment_cost: float,
+    decay: float,
+    eps: float,
+    *,
+    axis_name: str | None = None,
+) -> Tuple[jnp.ndarray, VQState, jnp.ndarray, jnp.ndarray]:
+    """Training pass for stage-stacked state; same contract as
+    vq_train_forward. Each stage runs the standard EMA update on its own
+    input distribution (the running residual), statistics psum'd under DP
+    exactly like the single-stage path; ONE straight-through estimator is
+    applied to the summed quantization so the encoder gradient is the
+    ordinary STE of the total. Commitment loss is the mean over stages of
+    each stage's beta*MSE(residual, sg[stage quantized]). Perplexity
+    reported for stage 0 (comparable with single-stage logs)."""
+    d = z.shape[-1]
+    s_total = state.embedding.shape[0]
+    flat = z.reshape(-1, d).astype(jnp.float32)
+    res = flat
+    q_total = jnp.zeros_like(flat)
+    new_stages = []
+    commitment = 0.0
+    perplexity0 = None
+    n_vectors = jnp.asarray(flat.shape[0], jnp.float32)
+    if axis_name is not None:
+        n_vectors = jax.lax.psum(n_vectors, axis_name)
+    for s in range(s_total):
+        st = _stage(state, s)
+        idx = nearest_indices(res, st.embedding)
+        q = dequantize(idx, st.embedding.astype(jnp.float32))
+        counts, sums = batch_stats(res, idx, st.embedding.shape[0])
+        if axis_name is not None:
+            counts = jax.lax.psum(counts, axis_name)
+            sums = jax.lax.psum(sums, axis_name)
+        new_stages.append(ema_update(st, counts, sums, decay, eps))
+        commitment = commitment + commitment_cost * jnp.mean(
+            jnp.square(res - jax.lax.stop_gradient(q)))
+        if s == 0:
+            avg = counts / jnp.maximum(n_vectors, 1.0)
+            perplexity0 = jnp.exp(-jnp.sum(avg * jnp.log(avg + 1e-10)))
+        res = res - q
+        q_total = q_total + q
+    commitment = commitment / s_total
+    new_state = VQState(*(jnp.stack(leaves)
+                          for leaves in zip(*new_stages)))
+    quantized = q_total.reshape(z.shape).astype(z.dtype)
+    quantized = z + jax.lax.stop_gradient(quantized - z)
+    return quantized, new_state, commitment, perplexity0
+
+
+def rvq_reset_dead_codes(
+    key,
+    state: VQState,
+    flat_z: jnp.ndarray,
+    threshold: float = 1.0,
+) -> Tuple[VQState, jnp.ndarray]:
+    """Per-stage dead-code reset: stage s resamples its dead codes from its
+    OWN input distribution — the residual left by stages <s on this batch
+    (matching what that stage actually quantizes)."""
+    res = flat_z.astype(jnp.float32)
+    new_stages = []
+    total_dead = jnp.zeros((), jnp.int32)
+    for s, k in enumerate(jax.random.split(key, state.embedding.shape[0])):
+        st = _stage(state, s)
+        new_st, n_dead = reset_dead_codes(k, st, res, threshold)
+        new_stages.append(new_st)
+        total_dead = total_dead + n_dead.astype(jnp.int32)
+        idx = nearest_indices(res, new_st.embedding)
+        res = res - dequantize(idx, new_st.embedding.astype(jnp.float32))
+    return (VQState(*(jnp.stack(leaves) for leaves in zip(*new_stages))),
+            total_dead)

@@ -30,8 +30,12 @@ from vqvdb_tpu.models import blocks
 from vqvdb_tpu.models.quantizer import (
     VQState,
     dequantize,
+    init_rvq_state,
     init_vq_state,
     nearest_indices,
+    rvq_dequantize,
+    rvq_indices,
+    rvq_train_forward,
     vq_train_forward,
 )
 
@@ -110,7 +114,11 @@ def init_vqvae_params(key, cfg: ModelConfig, dtype=jnp.float32) -> VQVAEParams:
     else:
         enc = _init_encoder_vec3(ke, cfg, dtype)
         dec = _init_decoder_vec3(kd, cfg, dtype)
-    vq = init_vq_state(kq, cfg.num_embeddings, cfg.embedding_dim, dtype)
+    if cfg.num_quantizers > 1:
+        vq = init_rvq_state(kq, cfg.num_quantizers, cfg.num_embeddings,
+                            cfg.embedding_dim, dtype)
+    else:
+        vq = init_vq_state(kq, cfg.num_embeddings, cfg.embedding_dim, dtype)
     return VQVAEParams(encoder=enc, decoder=dec, vq=vq)
 
 
@@ -238,22 +246,61 @@ def decoder_apply(params: Params, z: jnp.ndarray, cfg: ModelConfig) -> jnp.ndarr
     return decoder_tail(params, decoder_trunk(params, z, cfg), cfg)
 
 
+def quantize_infer(vq: VQState, flat: jnp.ndarray, cfg: ModelConfig,
+                   compute_dtype=jnp.float32
+                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Inference quantization dispatcher: flat latents (N,D) -> (indices,
+    quantized (N,D)). Indices are (N,) single-stage / (N,S) residual-VQ."""
+    if cfg.num_quantizers > 1:
+        idx = rvq_indices(flat, vq)
+        return idx, rvq_dequantize(idx, vq, compute_dtype)
+    idx = nearest_indices(flat, vq.embedding)
+    return idx, dequantize(idx, vq.embedding.astype(compute_dtype))
+
+
+def quantize_train_forward(vq: VQState, z: jnp.ndarray, cfg: ModelConfig,
+                           *, axis_name: str | None = None):
+    """Training quantizer dispatcher (single-stage EMA vs residual-VQ);
+    same contract as vq_train_forward."""
+    fwd = rvq_train_forward if cfg.num_quantizers > 1 else vq_train_forward
+    return fwd(vq, z, cfg.commitment_cost, cfg.ema_decay, cfg.ema_eps,
+               axis_name=axis_name)
+
+
+def reset_dead(key, vq: VQState, flat_z: jnp.ndarray, cfg: ModelConfig,
+               threshold: float = 1.0):
+    """Dead-code reset dispatcher (per-stage residual inputs for RVQ)."""
+    from vqvdb_tpu.models.quantizer import (reset_dead_codes,
+                                            rvq_reset_dead_codes)
+
+    if cfg.num_quantizers > 1:
+        return rvq_reset_dead_codes(key, vq, flat_z, threshold)
+    return reset_dead_codes(key, vq, flat_z, threshold)
+
+
 def encode_to_indices(params: VQVAEParams, x: jnp.ndarray, cfg: ModelConfig) -> jnp.ndarray:
     """Inference encode: leaves (B,8,8,8,C) -> uint8 indices (B,4,4,4)
+    — (B,4,4,4,S) for residual-VQ models
     (ref: VQVAE.encode, python/VQVAE_v2.py:350-369)."""
     z = encoder_apply(params.encoder, x, cfg)
     b = z.shape[0]
     flat = z.reshape(-1, cfg.embedding_dim)
-    idx = nearest_indices(flat, params.vq.embedding)
-    return idx.reshape((b,) + cfg.latent_shape).astype(cfg.index_dtype)
+    idx, _ = quantize_infer(params.vq, flat, cfg)
+    return idx.reshape((b,) + cfg.index_shape).astype(cfg.index_dtype)
 
 
 def decode_from_indices(params: VQVAEParams, indices: jnp.ndarray, cfg: ModelConfig,
                         compute_dtype=jnp.float32) -> jnp.ndarray:
-    """Inference decode: uint8 indices (B,4,4,4) -> leaves (B,8,8,8,C)
+    """Inference decode: uint8 indices (B,4,4,4[,S]) -> leaves (B,8,8,8,C)
     (ref: VQVAE.decode, python/VQVAE_v2.py:371-377)."""
-    codebook = params.vq.embedding.astype(compute_dtype)
-    z = dequantize(indices.astype(jnp.int32), codebook)
+    if cfg.num_quantizers > 1:
+        flat_idx = indices.astype(jnp.int32).reshape(-1, cfg.num_quantizers)
+        z = rvq_dequantize(flat_idx, params.vq, compute_dtype)
+        z = z.reshape(indices.shape[:1] + cfg.latent_shape
+                      + (cfg.embedding_dim,))
+    else:
+        codebook = params.vq.embedding.astype(compute_dtype)
+        z = dequantize(indices.astype(jnp.int32), codebook)
     return decoder_apply(params.decoder, z, cfg)
 
 
@@ -269,9 +316,7 @@ def vqvae_forward(
     Returns (z, recon, new_vq_state, vq_loss, perplexity).
     """
     z = encoder_apply(params.encoder, x, cfg)
-    quantized, new_vq, vq_loss, perplexity = vq_train_forward(
-        params.vq, z, cfg.commitment_cost, cfg.ema_decay, cfg.ema_eps,
-        axis_name=axis_name,
-    )
+    quantized, new_vq, vq_loss, perplexity = quantize_train_forward(
+        params.vq, z, cfg, axis_name=axis_name)
     recon = decoder_apply(params.decoder, quantized, cfg)
     return z, recon, new_vq, vq_loss, perplexity

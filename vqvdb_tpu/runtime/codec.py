@@ -108,8 +108,10 @@ class VQCodec:
         # Encode-side fusion: the 1x1 projection composes with the quantizer
         # distance matmul into one score GEMM (ops/quantize.py,
         # fold_proj_into_scores) — eliminates the D-dim latent entirely.
+        # Residual-VQ needs the explicit latent for stage-2+ residuals, so
+        # the fold does not apply there (the plain path is used instead).
         self._score_mc = None
-        if self.ccfg.fuse_proj_quantize:
+        if self.ccfg.fuse_proj_quantize and self.mcfg.num_quantizers == 1:
             from vqvdb_tpu.ops.quantize import fold_proj_into_scores
 
             proj = params.encoder["proj"]
@@ -170,21 +172,33 @@ class VQCodec:
         else:
             z = encoder_apply(params.encoder, x, self.mcfg)
             flat = z.reshape(-1, self.mcfg.embedding_dim).astype(jnp.float32)
-            if _use_pallas(self.ccfg):
+            if self.mcfg.num_quantizers > 1:
+                from vqvdb_tpu.models.quantizer import rvq_indices
+
+                idx = rvq_indices(flat, params.vq)
+            elif _use_pallas(self.ccfg):
                 idx = fused_nearest_indices(flat, params.vq.embedding)
             else:
                 idx = nearest_indices(flat, params.vq.embedding)
-        return idx.reshape((b,) + self.mcfg.latent_shape).astype(self.mcfg.index_dtype)
+        return idx.reshape((b,) + self.mcfg.index_shape).astype(self.mcfg.index_dtype)
 
     def _decode_step(self, params: VQVAEParams, indices: jnp.ndarray) -> jnp.ndarray:
-        """[B,4,4,4] uint8 -> [B,8,8,8,C] f32."""
+        """[B,4,4,4] (or [B,4,4,4,S] residual-VQ) uint8 -> [B,8,8,8,C] f32."""
         b = indices.shape[0]
-        flat_idx = indices.astype(jnp.int32).reshape(-1)
-        codebook = params.vq.embedding.astype(self.ccfg.compute_jnp_dtype)
-        if self.ccfg.use_pallas_dequant and jax.default_backend() == "tpu":
-            z = fused_dequantize(flat_idx, codebook)
+        if self.mcfg.num_quantizers > 1:
+            from vqvdb_tpu.models.quantizer import rvq_dequantize
+
+            flat_idx = indices.astype(jnp.int32).reshape(
+                -1, self.mcfg.num_quantizers)
+            z = rvq_dequantize(flat_idx, params.vq,
+                               self.ccfg.compute_jnp_dtype)
         else:
-            z = dequantize(flat_idx, codebook)
+            flat_idx = indices.astype(jnp.int32).reshape(-1)
+            codebook = params.vq.embedding.astype(self.ccfg.compute_jnp_dtype)
+            if self.ccfg.use_pallas_dequant and jax.default_backend() == "tpu":
+                z = fused_dequantize(flat_idx, codebook)
+            else:
+                z = dequantize(flat_idx, codebook)
         z = z.reshape((b,) + self.mcfg.latent_shape + (self.mcfg.embedding_dim,))
         if self._folded_tail is not None:
             from vqvdb_tpu.models.vqvae import decoder_pre_tail
@@ -216,10 +230,10 @@ class VQCodec:
             probe = shard_batch(probe, self.mesh)
         out = self._encode_jit(self.params, probe)
         got = tuple(out.shape[1:])
-        if got != self.mcfg.latent_shape:
+        if got != self.mcfg.index_shape:
             raise ModelMismatchError(
                 f"latent-shape probe mismatch: model produced {got}, "
-                f"config declares {self.mcfg.latent_shape}"
+                f"config declares {self.mcfg.index_shape}"
             )
         self._latent_shape_checked = True
         return got
@@ -230,7 +244,7 @@ class VQCodec:
         leaves = np.asarray(leaves, np.float32)
         if leaves.ndim == 4:
             leaves = leaves[..., None]
-        out = np.empty((leaves.shape[0],) + self.mcfg.latent_shape,
+        out = np.empty((leaves.shape[0],) + self.mcfg.index_shape,
                        np.dtype(self.mcfg.index_dtype))
         for dev, s, n in self._pipelined(self._encode_jit, leaves):
             self._host_rows(dev, n, out=out[s : s + n])
@@ -357,7 +371,9 @@ class VQCodec:
                 meta = GridMetadata(
                     name=grid.name,
                     num_embeddings=self.mcfg.num_embeddings,
-                    latent_shape=self.mcfg.latent_shape,
+                    # (4,4,4) single-stage; (4,4,4,S) residual-VQ — the
+                    # container's latent shape is dimension-count generic.
+                    latent_shape=self.mcfg.index_shape,
                     total_blocks=grid.num_leaves,
                     transform=grid.transform,
                 )
@@ -403,10 +419,10 @@ class VQCodec:
                 )
             while r.has_next_grid():
                 meta = r.next_grid_metadata()
-                if tuple(meta.latent_shape) != self.mcfg.latent_shape:
+                if tuple(meta.latent_shape) != self.mcfg.index_shape:
                     raise ModelMismatchError(
                         f"file latent shape {meta.latent_shape} != model "
-                        f"{self.mcfg.latent_shape}"
+                        f"{self.mcfg.index_shape}"
                     )
                 bs = self.ccfg.batch_size
                 pending: collections.deque = collections.deque()

@@ -163,7 +163,7 @@ def _dense_encode_fns(codec):
             return None, codec._encode_step(params, leaves)
 
         _, idx = jax.lax.scan(body, None, bid_steps)
-        return idx.reshape((-1,) + codec.mcfg.latent_shape)
+        return idx.reshape((-1,) + codec.mcfg.index_shape)
 
     fns = (jax.jit(activity), jax.jit(encode))
     codec._dense_encode_jit = fns
@@ -255,7 +255,7 @@ def encode_from_dense(
                + np.asarray(origin, np.int32)).astype(np.int32)
     n = flat.shape[0]
     if n == 0:
-        return (np.zeros((0,) + codec.mcfg.latent_shape,
+        return (np.zeros((0,) + codec.mcfg.index_shape,
                          np.dtype(codec.mcfg.index_dtype)),
                 origins)
     bs = codec.ccfg.batch_size
@@ -290,17 +290,17 @@ def decode_file_to_dense(
                 f"{codec.mcfg.num_embeddings}")
         while r.has_next_grid():
             meta = r.next_grid_metadata()
-            if tuple(meta.latent_shape) != codec.mcfg.latent_shape:
+            if tuple(meta.latent_shape) != codec.mcfg.index_shape:
                 raise ModelMismatchError(
                     f"file latent shape {meta.latent_shape} != model "
-                    f"{codec.mcfg.latent_shape}")
+                    f"{codec.mcfg.index_shape}")
             idx_parts, org_parts = [], []
             while r.has_next():
                 idx, org = r.next_batch(codec.ccfg.batch_size)
                 idx_parts.append(idx)
                 org_parts.append(org)
             indices = (np.concatenate(idx_parts) if idx_parts
-                       else np.zeros((0,) + codec.mcfg.latent_shape,
+                       else np.zeros((0,) + codec.mcfg.index_shape,
                                      np.dtype(codec.mcfg.index_dtype)))
             origins = (np.concatenate(org_parts) if org_parts
                        else np.zeros((0, 3), np.int32))
@@ -337,7 +337,7 @@ def encode_dense_to_file(
     meta = GridMetadata(
         name=name,
         num_embeddings=codec.mcfg.num_embeddings,
-        latent_shape=codec.mcfg.latent_shape,
+        latent_shape=codec.mcfg.index_shape,
         total_blocks=int(indices.shape[0]),
         transform=(np.eye(4, dtype=np.float32) if transform is None
                    else np.asarray(transform, np.float32)),

@@ -200,8 +200,9 @@ class CodecService:
 
     def decode_indices_npy(self, raw: bytes) -> bytes:
         idx = np.load(io.BytesIO(raw), allow_pickle=False)
-        if idx.ndim != 4 or idx.shape[1:] != self.codec.mcfg.latent_shape:
-            raise ValueError(f"expected indices [N,4,4,4], got {idx.shape}")
+        ishape = self.codec.mcfg.index_shape
+        if idx.shape[1:] != ishape:
+            raise ValueError(f"expected indices [N,{ishape}], got {idx.shape}")
         leaves = self.decode_batcher.submit(np.ascontiguousarray(idx))
         self.bump("decode_indices")
         out = io.BytesIO()

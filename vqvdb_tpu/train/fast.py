@@ -24,8 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from vqvdb_tpu.core.config import ModelConfig
-from vqvdb_tpu.models.quantizer import reset_dead_codes
-from vqvdb_tpu.models.vqvae import encoder_apply
+from vqvdb_tpu.models.vqvae import encoder_apply, reset_dead
 from vqvdb_tpu.train.train import (TrainConfig, TrainState, eval_step,
                                    make_optimizer, train_step)
 
@@ -234,7 +233,7 @@ def train_on_device(
             z = encoder_apply(state.params.encoder,
                               probe.astype(jnp.dtype(tcfg.compute_dtype)), mcfg)
             flat_z = z.reshape(-1, mcfg.embedding_dim).astype(jnp.float32)
-            new_vq, n_dead = reset_dead_codes(sub2, state.params.vq, flat_z)
+            new_vq, n_dead = reset_dead(sub2, state.params.vq, flat_z, mcfg)
             state = state._replace(params=state.params._replace(vq=new_vq))
             nd = int(n_dead)
             if nd:

@@ -35,14 +35,16 @@ import numpy as np
 import optax
 
 from vqvdb_tpu.core.config import ModelConfig
-from vqvdb_tpu.models.quantizer import VQState, reset_dead_codes
+from vqvdb_tpu.models.quantizer import VQState
 from vqvdb_tpu.models.vqvae import (
     VQVAEParams,
     decoder_apply,
     encoder_apply,
     init_vqvae_params,
+    quantize_infer,
+    quantize_train_forward,
+    reset_dead,
 )
-from vqvdb_tpu.models.quantizer import vq_train_forward
 
 
 @dataclasses.dataclass(frozen=True)
@@ -145,10 +147,8 @@ def _forward_loss(
     enc, dec = trainable
     x = batch.astype(jnp.dtype(tcfg.compute_dtype))
     z = encoder_apply(enc, x, mcfg)
-    quantized, new_vq, vq_loss, perplexity = vq_train_forward(
-        vq_state, z, mcfg.commitment_cost, mcfg.ema_decay, mcfg.ema_eps,
-        axis_name=axis_name,
-    )
+    quantized, new_vq, vq_loss, perplexity = quantize_train_forward(
+        vq_state, z, mcfg, axis_name=axis_name)
     recon = decoder_apply(dec, quantized, mcfg)  # f32 out
     target = batch.astype(jnp.float32)
     recon_mse = jnp.mean(jnp.square(recon - target))
@@ -210,11 +210,9 @@ def eval_step(
     x = batch.astype(jnp.dtype(tcfg.compute_dtype))
     z = encoder_apply(params.encoder, x, mcfg)
     # Inference-style quantization (no EMA side effects).
-    from vqvdb_tpu.models.quantizer import dequantize, nearest_indices
-
     flat = z.reshape(-1, mcfg.embedding_dim)
-    idx = nearest_indices(flat, params.vq.embedding)
-    quantized = dequantize(idx, params.vq.embedding.astype(z.dtype)).reshape(z.shape)
+    _, quant_flat = quantize_infer(params.vq, flat, mcfg, z.dtype)
+    quantized = quant_flat.reshape(z.shape)
     commit = mcfg.commitment_cost * jnp.mean(
         jnp.square(z.astype(jnp.float32) - quantized.astype(jnp.float32)))
     recon = decoder_apply(params.decoder, quantized, mcfg)
@@ -324,7 +322,7 @@ def train(
         if (epoch + 1) % tcfg.dead_code_interval == 0 and first_z is not None:
             reset_key, sub = jax.random.split(reset_key)
             flat_z = jnp.reshape(first_z, (-1, mcfg.embedding_dim)).astype(jnp.float32)
-            new_vq, n_dead = reset_dead_codes(sub, state.params.vq, flat_z)
+            new_vq, n_dead = reset_dead(sub, state.params.vq, flat_z, mcfg)
             state = state._replace(params=state.params._replace(vq=new_vq))
             if int(n_dead):
                 log_fn(f"[train] reset {int(n_dead)} dead codes")
