@@ -158,3 +158,36 @@ def test_leaf_endpoint_rejects_bad_shape(server):
                             _npy_bytes(np.zeros((2, 4, 4, 4), np.float32)))
     assert status == 400
     assert "expected leaves" in json.loads(data)["error"]
+
+def test_rvq_leaf_endpoints():
+    """A residual-VQ service round-trips (N,4,4,4,S) index tensors over
+    /encode_leaves + /decode_indices and rejects single-stage shapes."""
+    cfg = ModelConfig(embedding_dim=32, num_embeddings=64, num_quantizers=2)
+    codec = VQCodec(init_vqvae_params(jax.random.key(1), cfg), cfg,
+                    CodecConfig(batch_size=16, compute_dtype="float32"))
+    service = CodecService(codec)
+    srv = make_server(service, "127.0.0.1", 0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        addr = srv.server_address
+        leaves = np.random.default_rng(2).random((5, 8, 8, 8), np.float32)
+        status, data = _request(addr, "POST", "/encode_leaves",
+                                _npy_bytes(leaves))
+        assert status == 200, data
+        idx = np.load(io.BytesIO(data))
+        assert idx.shape == (5, 4, 4, 4, 2) and idx.dtype == np.uint8
+
+        status, data = _request(addr, "POST", "/decode_indices",
+                                _npy_bytes(idx))
+        assert status == 200, data
+        rec = np.load(io.BytesIO(data))
+        assert rec.shape == (5, 8, 8, 8, 1)
+
+        # Single-stage-shaped indices must be rejected by an RVQ service.
+        status, data = _request(addr, "POST", "/decode_indices",
+                                _npy_bytes(idx[..., 0]))
+        assert status == 400
+        assert "expected indices" in json.loads(data)["error"]
+    finally:
+        srv.shutdown()
