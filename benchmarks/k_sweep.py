@@ -53,7 +53,7 @@ def eval_leaves(kind: str, size: int, min_blocks: int) -> np.ndarray:
     chunks, total, seed = [], 0, 1000
     while total < min_blocks:
         g = factory(size, seed=seed)
-        chunks.append(np.asarray(g.leaves, np.float32))
+        chunks.append(np.asarray(g.leaves, np.float32)[..., 0])
         total += g.num_leaves
         seed += 1
     return np.concatenate(chunks, axis=0)[:min_blocks]
@@ -65,6 +65,11 @@ def main() -> None:
     ap.add_argument("--batch-size", type=int, default=2048)
     ap.add_argument("--models-dir", default="/tmp/k_sweep")
     ap.add_argument("--ks", type=int, nargs="*", default=[128, 256, 512, 1024])
+    ap.add_argument("--extra-models", nargs="*", default=[],
+                    metavar="LABEL=PATH",
+                    help="additional artifacts to add as frontier rows "
+                         "(e.g. rvq2=/tmp/k_sweep/rvq2.vqmodel) — rows "
+                         "record K and num_quantizers from the artifact")
     args = ap.parse_args()
 
     from vqvdb_tpu import api
@@ -72,16 +77,27 @@ def main() -> None:
 
     pools = {k: eval_leaves(k, 96, args.min_blocks)
              for k in ("smoke", "levelset")}
-    rows = []
+    targets = []
     for K in args.ks:
         model = (ROOT / "models" / "scalar.vqmodel" if K == 256
                  else Path(args.models_dir) / f"k{K}.vqmodel")
+        targets.append((f"k{K}", model, K))
+    for spec in args.extra_models:
+        label, _, p = spec.partition("=")
+        targets.append((label, Path(p), None))
+
+    rows = []
+    for label, model, K in targets:
         if not model.exists():
-            print(f"[skip] K={K}: {model} missing", file=sys.stderr)
+            print(f"[skip] {label}: {model} missing", file=sys.stderr)
             continue
         codec = api.make_codec(str(model), batch_size=args.batch_size)
-        assert codec.mcfg.num_embeddings == K, (K, codec.mcfg.num_embeddings)
-        row = {"K": K, "model": str(model)}
+        if K is not None:
+            assert codec.mcfg.num_embeddings == K, (K, codec.mcfg.num_embeddings)
+        K = codec.mcfg.num_embeddings
+        S = codec.mcfg.num_quantizers
+        row = {"label": label, "K": K, "num_quantizers": S,
+               "model": str(model)}
         # Quality per family on the unseen pool.
         for fam, leaves in pools.items():
             idx = codec.encode_leaves(leaves)
@@ -90,13 +106,18 @@ def main() -> None:
             z, nz = split_mse(rec, leaves)
             row[f"{fam}_zero_mse"] = float(f"{z:.3e}")
             # Index-stream statistics: empirical entropy bounds what any
-            # payload codec can reach.
-            counts = np.bincount(idx.reshape(-1).astype(np.int64),
-                                 minlength=K).astype(np.float64)
-            p = counts[counts > 0] / counts.sum()
-            row[f"{fam}_index_entropy_bits"] = round(
-                float(-(p * np.log2(p)).sum()), 3)
-            row[f"{fam}_codes_used"] = int((counts > 0).sum())
+            # payload codec can reach. For RVQ, entropy is summed over
+            # stages (each stage is its own uint8 plane/distribution).
+            stages = idx.reshape(-1, S) if S > 1 else idx.reshape(-1, 1)
+            ent, used = 0.0, 0
+            for s in range(stages.shape[1]):
+                counts = np.bincount(stages[:, s].astype(np.int64),
+                                     minlength=K).astype(np.float64)
+                p = counts[counts > 0] / counts.sum()
+                ent += float(-(p * np.log2(p)).sum())
+                used += int((counts > 0).sum())
+            row[f"{fam}_index_entropy_bits"] = round(ent, 3)
+            row[f"{fam}_codes_used"] = used
         # Measured bits/leaf on the smoke pool (64 indices + 12 B origin).
         n = pools["smoke"].shape[0]
         side = int(np.ceil(n ** (1 / 3)))
