@@ -88,12 +88,18 @@ def decode(
     *,
     batch_size: int = 4096,
     progress: bool = False,
+    grids=None,
+    bbox=None,
 ) -> Tuple[List[LeafGrid], dict]:
     """Decompress a `.vqvdb` file into LeafGrids (SOP decoder cook
-    semantics, ref: SOP_VQVDB_Decoder.cpp:78-115)."""
+    semantics, ref: SOP_VQVDB_Decoder.cpp:78-115). `grids` (name or
+    iterable of names) and `bbox` ((lo, hi) voxel corners, lo inclusive /
+    hi exclusive) select a subset; unselected grid payloads are skipped
+    on disk and only intersecting leaves are decoded."""
     codec = model if isinstance(model, VQCodec) else make_codec(
         model, batch_size=batch_size)
-    return codec.decompress(in_path, progress=progress)
+    return codec.decompress(in_path, progress=progress, grids=grids,
+                            bbox=bbox)
 
 
 def encode_sequence(

@@ -173,7 +173,15 @@ def _cmd_decode(args) -> int:
     codec = api.make_codec(args.model, batch_size=args.batch_size,
                            compute_dtype=args.compute_dtype,
                            data_parallel=args.data_parallel)
-    grids, stats = api.decode(args.input, codec, progress=args.verbose)
+    bbox = None
+    if args.bbox:
+        v = [int(x) for x in args.bbox.split(",")]
+        if len(v) != 6:
+            print("error: --bbox wants x0,y0,z0,x1,y1,z1", file=sys.stderr)
+            return 2
+        bbox = (v[:3], v[3:])
+    grids, stats = api.decode(args.input, codec, progress=args.verbose,
+                              grids=args.grid or None, bbox=bbox)
     out_path = Path(args.output)
     if args.vdb or out_path.suffix == ".vdb":
         # Write all decoded grids into one OpenVDB asset (the reference's
@@ -618,6 +626,13 @@ def main(argv=None) -> int:
     pd.add_argument("--model", required=True)
     pd.add_argument("--batch-size", type=int, default=4096)
     pd.add_argument("--compute-dtype", default="bfloat16")
+    pd.add_argument("--grid", action="append", default=[],
+                    help="decode only this grid (repeatable); others are "
+                         "skipped on disk without decoding")
+    pd.add_argument("--bbox",
+                    help="voxel-space selection x0,y0,z0,x1,y1,z1 (lower "
+                         "inclusive, upper exclusive): only intersecting "
+                         "leaves are decoded")
     pd.add_argument("--dense", action="store_true",
                     help="write dense volumes (scattered over each grid's "
                          "bbox) instead of leaf arrays")

@@ -393,7 +393,8 @@ class VQCodec:
             "bytes": Path(out_path).stat().st_size,
         }
 
-    def decode_stream(self, in_path: Union[str, Path]):
+    def decode_stream(self, in_path: Union[str, Path], *,
+                      grids=None, bbox=None):
         """Memory-bounded streaming decode for arbitrarily large scenes.
 
         Generator yielding (grid_metadata, leaves_batch [n,8,8,8,C] f32,
@@ -401,16 +402,35 @@ class VQCodec:
         once — the reference's bounded-buffer streaming (64 MiB reader, lazy
         per-batch reads, ref: VQVDB_Reader.cpp) carried over, with the device
         pipeline keeping PIPELINE_DEPTH batches in flight.
+
+        Selective decode (capability the reference lacks — its decompress
+        always materializes every grid, VQVAECodec.cpp:137-208):
+          grids: a name or iterable of names; other grids' payloads are
+            skipped on disk without decompression or decoding.
+          bbox: voxel-space ((x0,y0,z0),(x1,y1,z1)) — lower inclusive,
+            upper exclusive; only leaves intersecting the box are decoded
+            (filtered chunks are re-packed into full device batches, so
+            device work scales with the selection, not the file).
         """
-        for meta, dev, org, n in self._decode_stream_dev(in_path):
+        for meta, dev, org, n in self._decode_stream_dev(in_path,
+                                                         grids=grids,
+                                                         bbox=bbox):
             yield meta, self._host_rows(dev, n), org
 
-    def _decode_stream_dev(self, in_path: Union[str, Path]):
+    def _decode_stream_dev(self, in_path: Union[str, Path], *,
+                           grids=None, bbox=None):
         """decode_stream's device-level core: yields (grid_metadata,
         device_batch, origins, valid_count) with the result still on
         device, so consumers that own their destination memory (e.g.
         `decompress`'s preallocated grid arrays) can materialize each
         batch with a single host copy via `_host_rows(..., out=)`."""
+        names = None
+        if grids is not None:
+            names = {grids} if isinstance(grids, str) else set(grids)
+        lo = hi = None
+        if bbox is not None:
+            lo = np.asarray(bbox[0], np.int64).reshape(3)
+            hi = np.asarray(bbox[1], np.int64).reshape(3)
         with VqvdbReader(in_path) as r:
             if r.num_embeddings != self.mcfg.num_embeddings:
                 raise ModelMismatchError(
@@ -419,6 +439,9 @@ class VQCodec:
                 )
             while r.has_next_grid():
                 meta = r.next_grid_metadata()
+                if names is not None and meta.name not in names:
+                    r.skip_grid_payload()
+                    continue
                 if tuple(meta.latent_shape) != self.mcfg.index_shape:
                     raise ModelMismatchError(
                         f"file latent shape {meta.latent_shape} != model "
@@ -426,8 +449,9 @@ class VQCodec:
                     )
                 bs = self.ccfg.batch_size
                 pending: collections.deque = collections.deque()
-                while r.has_next():
-                    idx, org = r.next_batch(bs)
+                carry_i = carry_o = None
+
+                def _dispatch(idx, org):
                     n = idx.shape[0]
                     chunk = idx
                     if n < bs:
@@ -436,8 +460,28 @@ class VQCodec:
                         )
                     dev = self._decode_jit(self.params, self._to_device(chunk))
                     pending.append((meta, dev, org, n))
-                    if len(pending) >= PIPELINE_DEPTH:
-                        yield pending.popleft()
+
+                while r.has_next():
+                    idx, org = r.next_batch(bs)
+                    if lo is not None:
+                        keep = (np.all(org < hi, axis=1)
+                                & np.all(org + LEAF_DIM > lo, axis=1))
+                        idx, org = idx[keep], org[keep]
+                        if idx.shape[0] == 0:
+                            continue
+                    if carry_i is not None:
+                        idx = np.concatenate([carry_i, idx])
+                        org = np.concatenate([carry_o, org])
+                        carry_i = carry_o = None
+                    while idx.shape[0] >= bs:
+                        _dispatch(idx[:bs], org[:bs])
+                        idx, org = idx[bs:], org[bs:]
+                        if len(pending) >= PIPELINE_DEPTH:
+                            yield pending.popleft()
+                    if idx.shape[0]:
+                        carry_i, carry_o = idx, org
+                if carry_i is not None:
+                    _dispatch(carry_i, carry_o)
                 while pending:
                     yield pending.popleft()
 
@@ -446,14 +490,18 @@ class VQCodec:
         in_path: Union[str, Path],
         *,
         progress: bool = False,
+        grids=None,
+        bbox=None,
     ) -> Tuple[List[LeafGrid], dict]:
         """Stream a `.vqvdb` file through the decoder into LeafGrids.
 
         Materializes whole grids; for scenes too large to hold in host
-        memory use `decode_stream` directly.
+        memory use `decode_stream` directly. `grids`/`bbox` select a
+        subset (see decode_stream) — unselected payloads are skipped on
+        disk and device work scales with the selection.
         """
         t0 = time.perf_counter()
-        grids: List[LeafGrid] = []
+        out_grids: List[LeafGrid] = []
         total = 0
         cur_meta = None
         leaves_out = origins_out = None
@@ -465,7 +513,7 @@ class VQCodec:
                 # Slice to what actually arrived: total_blocks is
                 # metadata, the reader's truncation checks are the
                 # authority on the real count.
-                grids.append(LeafGrid(
+                out_grids.append(LeafGrid(
                     name=cur_meta.name,
                     origins=origins_out[:cursor],
                     leaves=leaves_out[:cursor],
@@ -475,10 +523,14 @@ class VQCodec:
         # Batches land directly in per-grid arrays preallocated from the
         # grid metadata — one host copy per byte (see _host_rows) instead
         # of the gather-then-concatenate two.
-        for meta, dev, origins, n in self._decode_stream_dev(in_path):
+        for meta, dev, origins, n in self._decode_stream_dev(in_path,
+                                                             grids=grids,
+                                                             bbox=bbox):
             if meta is not cur_meta:
                 _finish()
                 cur_meta = meta
+                # total_blocks over-allocates under a bbox selection; the
+                # cursor slice in _finish trims to what actually decoded.
                 leaves_out = np.empty((meta.total_blocks,) + blk, np.float32)
                 origins_out = np.empty((meta.total_blocks, 3), np.int32)
                 cursor = 0
@@ -496,4 +548,4 @@ class VQCodec:
             "seconds": dt,
             "leaves_per_sec": total / dt if dt > 0 else float("inf"),
         }
-        return grids, stats
+        return out_grids, stats
