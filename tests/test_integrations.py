@@ -29,6 +29,27 @@ def test_houdini_cook_roundtrip(tmp_path):
     np.testing.assert_array_equal(grids[0].origins, grid.origins)
 
 
+def test_houdini_cook_decoder_vdbname_selects(tmp_path):
+    """The decoder's vdbname parameter decodes only that grid (the SOP
+    parameter surface, ref: SOP_VQVDB_Decoder.cpp parms)."""
+    from vqvdb_tpu.vdb.grid import LeafGrid
+
+    cfg = ModelConfig(embedding_dim=32, num_embeddings=64)
+    model_path = tmp_path / "m.vqmodel"
+    save_model(model_path, init_vqvae_params(jax.random.key(0), cfg), cfg)
+    a = smoke_grid(24, seed=5)
+    b0 = smoke_grid(24, seed=6)
+    b = LeafGrid("velocity_mag", b0.origins, b0.leaves)
+    out = tmp_path / "two.vqvdb"
+    cook_encoder(outputpath=str(out), model=str(model_path),
+                 batchsize=32, grids=[a, b])
+
+    grids = cook_decoder(inputfile=str(out), model=str(model_path),
+                         batchsize=32, vdbname="velocity_mag")
+    assert [g.name for g in grids] == ["velocity_mag"]
+    np.testing.assert_array_equal(grids[0].origins, b.origins)
+
+
 def test_houdini_cook_requires_source():
     with pytest.raises(ValueError, match="grids"):
         cook_encoder(outputpath="x.vqvdb", model="m")

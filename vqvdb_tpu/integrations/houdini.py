@@ -193,15 +193,19 @@ def cook_decoder(
     inputfile: str,
     batchsize: int = 4096,
     model: str = "",
+    vdbname: str = "",
     node=None,
 ) -> List[LeafGrid]:
     """Decoder cook (ref: SOP_VQVDB_Decoder.cpp:78-115 — generator node:
     read file, decode, build grids). Inside Houdini the decoded grids are
     written to a temp .vdb by our own writer and merged onto the node's
     geometry with hou.Geometry.loadFromFile, which builds real sparse VDB
-    prims (the GU_PrimVDB::buildFromGrid equivalent). Always returns the
-    LeafGrids."""
-    grids, _ = api.decode(inputfile, model, batch_size=batchsize)
+    prims (the GU_PrimVDB::buildFromGrid equivalent). `vdbname` selects one
+    grid — unlike the reference (which decodes everything and filters
+    nothing, SOP_VQVDB_Decoder.cpp), unselected payloads are skipped on
+    disk. Always returns the LeafGrids."""
+    grids, _ = api.decode(inputfile, model, batch_size=batchsize,
+                          grids=vdbname or None)
     if node is not None:
         from vqvdb_tpu.vdb.openvdb_io import write_vdb_leafgrids
 
