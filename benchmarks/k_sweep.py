@@ -139,6 +139,10 @@ def main() -> None:
     out = {"min_blocks": args.min_blocks,
            "recipe": "retrain_data15_r3 (200 epochs, b2048, full data), "
                      "only K varied",
+           "psnr_metric": "pooled: -10*log10(MSE over all voxels). The "
+                          "eval reports' psnr_mean is the mean of "
+                          "per-block PSNRs and reads several dB higher "
+                          "on heavy-tailed families (levelset).",
            "rows": rows}
     dst = ROOT / "benchmarks" / "k_sweep_r3.json"
     dst.write_text(json.dumps(out, indent=2))

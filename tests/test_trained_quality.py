@@ -76,6 +76,37 @@ def test_scalar_levelset_quality_50k_anchored():
     assert rep["psnr_p5"] > 19.5, f"levelset p5 {rep['psnr_p5']:.2f} dB"
 
 
+RVQ2_MODEL = MODEL.parent / "scalar_rvq2.vqmodel"
+
+# The residual-VQ quality tier (S=2, flagship recipe; k_sweep_r3.json)
+# must stay strictly above the single-stage flagship. Leading-seed
+# anchors: smoke 999 blocks mean 51.38 p5 46.94; levelset 1136 blocks
+# mean 36.89 p5 25.12 (50k-block runs: 51.24 / 36.43,
+# benchmarks/eval_rvq2_r3.json). Floors leave ~1.5 dB retrain headroom.
+
+
+@pytest.mark.skipif(not RVQ2_MODEL.exists(),
+                    reason="rvq2 artifact not present")
+def test_rvq2_tier_beats_flagship_smoke():
+    from vqvdb_tpu.train.synthetic import smoke_grid
+
+    rep = _family_eval(smoke_grid, RVQ2_MODEL, (1000, 1001, 1002))
+    assert rep["num_blocks"] > 900
+    assert rep["psnr_mean"] > 50.0, f"rvq2 smoke mean {rep['psnr_mean']:.2f}"
+    assert rep["psnr_p5"] > 45.0, f"rvq2 smoke p5 {rep['psnr_p5']:.2f}"
+
+
+@pytest.mark.skipif(not RVQ2_MODEL.exists(),
+                    reason="rvq2 artifact not present")
+def test_rvq2_tier_beats_flagship_levelset():
+    from vqvdb_tpu.train.synthetic import levelset_grid
+
+    rep = _family_eval(levelset_grid, RVQ2_MODEL, (1000, 1001, 1002))
+    assert rep["num_blocks"] > 1000
+    assert rep["psnr_mean"] > 35.5, f"rvq2 levelset mean {rep['psnr_mean']:.2f}"
+    assert rep["psnr_p5"] > 23.5, f"rvq2 levelset p5 {rep['psnr_p5']:.2f}"
+
+
 @pytest.mark.slow
 @pytest.mark.skipif(not VEC3_MODEL.exists(),
                     reason="vec3 artifact not present")
