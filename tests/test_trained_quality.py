@@ -119,6 +119,26 @@ def test_vec3_quality_50k_anchored():
     assert rep["psnr_p5"] > 21.5, f"vec3 p5 {rep['psnr_p5']:.2f} dB"
 
 
+VEC3_RVQ2_MODEL = MODEL.parent / "vec3_rvq2.vqmodel"
+
+# Vec3 residual-VQ tier (S=2, flagship recipe). Leading-seed anchor:
+# 387 blocks mean 37.05 p5 25.21 (50k: 34.81 / p5 24.28,
+# benchmarks/eval_vec3_rvq2_r3.json). Floors leave ~1.5 dB headroom while
+# staying strictly above the single-stage vec3 gate.
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not VEC3_RVQ2_MODEL.exists(),
+                    reason="vec3 rvq2 artifact not present")
+def test_vec3_rvq2_tier_beats_flagship():
+    from vqvdb_tpu.train.synthetic import velocity_grid
+
+    rep = _family_eval(velocity_grid, VEC3_RVQ2_MODEL, (1000,))
+    assert rep["num_blocks"] > 300
+    assert rep["psnr_mean"] > 35.5, f"vec3 rvq2 mean {rep['psnr_mean']:.2f}"
+    assert rep["psnr_p5"] > 23.5, f"vec3 rvq2 p5 {rep['psnr_p5']:.2f}"
+
+
 def test_trained_model_file_roundtrip(tmp_path):
     from vqvdb_tpu import api
     from vqvdb_tpu.train.synthetic import smoke_grid
