@@ -43,7 +43,11 @@ if _plat:
 RUNGS = {  # scale -> (smoke volumes, levelset volumes)
     "1.5": (450, 225),
     "2.0": (600, 300),
+    "3.0": (900, 450),
+    "4.5": (1350, 675),
 }
+# Measured pool sizes (so cached-model re-evals still report them).
+POOL_LEAVES = {"1.5": 266168, "2.0": 356595, "3.0": 532108}
 
 
 def pool(n_smoke: int, n_level: int) -> np.ndarray:
@@ -131,7 +135,7 @@ def main() -> None:
             n_leaves = int(data.shape[0])
             del data
         else:
-            n_leaves = None
+            n_leaves = POOL_LEAVES.get(label)
         eval_row(label, dst, {"train_leaves": n_leaves})
 
     doc = {"recipe": "flagship (200 epochs, b2048, lr 1e-4, full data), "
