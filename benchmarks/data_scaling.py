@@ -51,10 +51,15 @@ POOL_LEAVES = {"1.5": 266168, "2.0": 356595, "3.0": 532108}
 
 
 def pool(n_smoke: int, n_level: int) -> np.ndarray:
-    from vqvdb_tpu.train.synthetic import levelset_grid, smoke_grid
+    from vqvdb_tpu.train.synthetic import levelset_grid, smoke_grid, train_seeds
 
+    # train_seeds skips the reserved eval band [1000, 2000): pools <= 1000
+    # smoke volumes are identical to the historical 0..n-1 scheme, larger
+    # pools continue at 2000+ instead of overlapping the eval seeds. (The
+    # originally-published 4.5x rung used raw range(1350) and trained on the
+    # whole smoke eval pool; its smoke number was contaminated.)
     chunks = [np.asarray(smoke_grid(96, seed=s).leaves, np.float32)
-              for s in range(n_smoke)]
+              for s in train_seeds(n_smoke)]
     chunks += [np.asarray(levelset_grid(96, seed=s).leaves, np.float32)
                for s in range(5000, 5000 + n_level)]
     return np.concatenate(chunks)

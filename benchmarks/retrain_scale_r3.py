@@ -9,9 +9,10 @@ models + history JSONs to --out-dir, and evaluates each on the 50k-block
 unseen sets (seeds 1000+; mean per-block PSNR, the eval-report metric).
 
 Scale semantics: --smoke N --levelset M --velocity V volume counts
-(committed pools: 300/150/180). Seeds: smoke 0..N-1, levelset
-5000..5000+M-1, velocity 0..V-1 — supersets of the committed pools,
-disjoint from eval seeds 1000+.
+(committed pools: 300/150/180). Seeds: smoke/velocity take the first N/V
+seeds from train_seeds() (counting from 0 but skipping the reserved eval
+band [1000, 2000)), levelset 5000..5000+M-1 — supersets of the committed
+pools, disjoint from the eval pools (seeds 1000+) at every scale.
 
     python benchmarks/retrain_scale_r3.py --smoke 900 --levelset 450 \
         --velocity 540
@@ -42,21 +43,23 @@ if _plat:
 
 
 def scalar_pool(n_smoke: int, n_level: int) -> np.ndarray:
-    from vqvdb_tpu.train.synthetic import levelset_grid, smoke_grid
+    from vqvdb_tpu.train.synthetic import levelset_grid, smoke_grid, train_seeds
 
+    # train_seeds skips the reserved eval band [1000, 2000) so pools larger
+    # than 1000 smoke volumes stay disjoint from the 50k-block eval sets.
     chunks = [np.asarray(smoke_grid(96, seed=s).leaves, np.float32)
-              for s in range(n_smoke)]
+              for s in train_seeds(n_smoke)]
     chunks += [np.asarray(levelset_grid(96, seed=s).leaves, np.float32)
                for s in range(5000, 5000 + n_level)]
     return np.concatenate(chunks)
 
 
 def vec3_pool(n_vel: int) -> np.ndarray:
-    from vqvdb_tpu.train.synthetic import velocity_grid
+    from vqvdb_tpu.train.synthetic import train_seeds, velocity_grid
 
     return np.concatenate(
         [np.asarray(velocity_grid(96, seed=s).leaves, np.float32)
-         for s in range(n_vel)])
+         for s in train_seeds(n_vel)])
 
 
 def eval_pool(kind: str, min_blocks: int) -> np.ndarray:

@@ -9,11 +9,74 @@ fields, then sparsify them into LeafGrids / leaf arrays.
 
 from __future__ import annotations
 
-from typing import Tuple
+import os
+from pathlib import Path
+from typing import List, Tuple
 
 import numpy as np
 
 from vqvdb_tpu.vdb.grid import LeafGrid
+
+# Seeds 1000..1999 are reserved for held-out evaluation pools (gen_eval_r3,
+# data_scaling, retrain_scale all draw eval volumes from seed 1000 upward).
+# Training pools must never draw from this band; use train_seeds() below.
+EVAL_SEED_BAND = (1000, 2000)
+
+
+def train_seeds(n: int, start: int = 0) -> List[int]:
+    """First `n` seeds counting up from `start`, skipping the reserved
+    eval band [1000, 2000). Keeps pools <=1000 volumes identical to the
+    historical 0..n-1 scheme while making larger pools contamination-free."""
+    lo, hi = EVAL_SEED_BAND
+    out, s = [], start
+    while len(out) < n:
+        if not (lo <= s < hi):
+            out.append(s)
+        s += 1
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Volume cache
+#
+# Generation is pure CPU numpy (~2-6 s per 96^3 volume on a 1-core host) and
+# every training/eval harness regenerates its pools from scratch; a content
+# cache keyed by (family, size, seed) makes reruns cheap. Generators are
+# deterministic in (seed,) so cached bits == fresh bits; bump _CACHE_VERSION
+# on ANY change to the generator math.
+_CACHE_VERSION = 1
+
+
+def _cache_dir() -> Path | None:
+    env = os.environ.get("VQVDB_SYNTH_CACHE")
+    if env == "0" or env == "off":
+        return None
+    if env:
+        return Path(env)
+    return Path("/tmp") / f"vqvdb_synth_v{_CACHE_VERSION}"
+
+
+def _cached_grid(family: str, size: int, seed: int, name: str, build) -> LeafGrid:
+    d = _cache_dir()
+    if d is None:
+        return build()
+    path = d / f"{family}_{size}_{seed}.npz"
+    if path.exists():
+        try:
+            with np.load(path) as z:
+                return LeafGrid(name=name, origins=z["origins"], leaves=z["leaves"])
+        except Exception:
+            path.unlink(missing_ok=True)
+    g = build()
+    try:
+        d.mkdir(parents=True, exist_ok=True)
+        tmp = path.with_name(f".tmp{os.getpid()}_{path.name}")
+        with tmp.open("wb") as fh:
+            np.savez(fh, origins=g.origins, leaves=g.leaves)
+        os.replace(tmp, path)
+    except OSError:
+        pass  # cache is best-effort; never fail generation over it
+    return g
 
 
 def _value_noise_3d(shape: Tuple[int, int, int], cell: int, rng) -> np.ndarray:
@@ -126,15 +189,18 @@ def levelset_volume(size: int = 64, seed: int = 0,
 
 
 def smoke_grid(size: int = 64, seed: int = 0, name: str = "density") -> LeafGrid:
-    return LeafGrid.from_dense(name, smoke_volume(size, seed))
+    return _cached_grid("smoke", size, seed, name,
+                        lambda: LeafGrid.from_dense(name, smoke_volume(size, seed)))
 
 
 def levelset_grid(size: int = 64, seed: int = 0, name: str = "surface") -> LeafGrid:
-    return LeafGrid.from_dense(name, levelset_volume(size, seed))
+    return _cached_grid("levelset", size, seed, name,
+                        lambda: LeafGrid.from_dense(name, levelset_volume(size, seed)))
 
 
 def velocity_grid(size: int = 64, seed: int = 0, name: str = "vel") -> LeafGrid:
-    return LeafGrid.from_dense(name, velocity_volume(size, seed))
+    return _cached_grid("velocity", size, seed, name,
+                        lambda: LeafGrid.from_dense(name, velocity_volume(size, seed)))
 
 
 def make_leaf_dataset_files(out_dir, *, n_volumes: int = 8, size: int = 64,
