@@ -68,9 +68,26 @@ FORMAT_VERSION_V4 = 4
 # 76 B -> ~50 B), lifting compression from 26.9x to ~40x vs raw leaves.
 # v3 stays the frozen byte-identical interchange default.
 FORMAT_VERSION_V5 = 5
-SUPPORTED_VERSIONS = (FORMAT_VERSION, FORMAT_VERSION_V4, FORMAT_VERSION_V5)
+# v6 extension (ours): v5 plus an optional per-grid residual-correction
+# stream — the near-lossless tier. Grid metadata gains, after the codec
+# byte, u8 residualMode (0=none, 1=int8 per-leaf-scaled, 2=float16) and
+# u8 residualChannels (leaf value channels C; 0 when mode=0). Each frame
+# blob decompresses to: origins-delta block, indices block, then for
+# mode=1 a f32[n] per-leaf scale block + i8[n, 512*C] quantized residual
+# block, for mode=2 a f16[n, 512*C] residual block. The residual is the
+# reconstruction error x - decode(indices) measured against the *actual*
+# decode executable at encode time; decode adds it back, bounding the
+# per-voxel error by scale/2 (mode 1) or one f16 rounding of the error
+# (mode 2). Readers may skip the residual and still get a valid lossy
+# decode. The reference has no counterpart: its runtime and container are
+# hard-locked to pure index payloads (src/Utils/VQVDB_Reader.cpp).
+FORMAT_VERSION_V6 = 6
+SUPPORTED_VERSIONS = (FORMAT_VERSION, FORMAT_VERSION_V4, FORMAT_VERSION_V5,
+                      FORMAT_VERSION_V6)
 
 V5_CODECS = {"zlib": 0, "lzma": 1, "lz4": 2}
+RESIDUAL_MODES = {"none": 0, "int8": 1, "f16": 2}
+RESIDUAL_MODE_NAMES = {v: k for k, v in RESIDUAL_MODES.items()}
 
 
 def _v5_compress(codec_id: int, raw: bytes) -> bytes:
@@ -121,12 +138,21 @@ def _delta_decode_origins(deltas: np.ndarray) -> np.ndarray:
 _HEADER_STRUCT = struct.Struct("<5sBBIB")  # magic, version, numGrids, numEmbeddings, latentDimCount
 HEADER_SIZE = _HEADER_STRUCT.size  # 12
 ORIGIN_BYTES = 12  # 3 x i32
+# Voxels per leaf. Like the reference format, the container assumes 8^3
+# OpenVDB leaves (ref: src/orchestrator/VQVAECodec.cpp:20-22); the v6
+# residual stream stores one value per voxel per channel.
+LEAF_VOXELS = 512
+
+
+def _framed(version: int) -> bool:
+    """True for versions whose payload is compressed frames (v5, v6)."""
+    return version >= FORMAT_VERSION_V5
 
 
 def _index_bytes(version: int, num_embeddings: int) -> int:
     if version == FORMAT_VERSION:
         return 1
-    return 1 if num_embeddings <= 256 else 2  # v4 and v5
+    return 1 if num_embeddings <= 256 else 2  # v4, v5 and v6
 
 
 def _index_dtype(version: int, num_embeddings: int):
@@ -139,6 +165,9 @@ class GridMetadata:
 
     index_bytes is 1 for v3 files (always) and for v4 files with K<=256;
     2 for v4 files with larger codebooks.
+
+    residual_mode / residual_channels describe the v6 residual-correction
+    stream (0/0 for every pre-v6 grid and for v6 grids without residuals).
     """
 
     name: str
@@ -149,10 +178,16 @@ class GridMetadata:
         default_factory=lambda: np.eye(4, dtype=np.float32)
     )
     index_bytes: int = 1
+    residual_mode: int = 0
+    residual_channels: int = 0
 
     def __post_init__(self) -> None:
         self.latent_shape = tuple(int(d) for d in self.latent_shape)
         self.transform = np.asarray(self.transform, dtype=np.float32).reshape(4, 4)
+        if self.residual_mode not in RESIDUAL_MODE_NAMES:
+            raise FormatError(f"unknown residual mode {self.residual_mode}")
+        if self.residual_mode and self.residual_channels < 1:
+            raise FormatError("residual grids must declare residual_channels >= 1")
 
     @property
     def num_indices(self) -> int:
@@ -164,12 +199,32 @@ class GridMetadata:
 
     @property
     def block_data_size(self) -> int:
-        """Payload bytes per leaf."""
+        """Index payload bytes per leaf."""
         return self.num_indices * self.index_bytes
 
     @property
+    def residual_dtype(self):
+        return {1: np.int8, 2: np.float16}.get(self.residual_mode)
+
+    @property
+    def residual_values(self) -> int:
+        """Residual values per leaf (voxels x channels); 0 without residuals."""
+        if self.residual_mode == 0:
+            return 0
+        return LEAF_VOXELS * self.residual_channels
+
+    @property
+    def residual_bytes(self) -> int:
+        """Residual payload bytes per leaf (incl. the mode-1 f32 scale)."""
+        if self.residual_mode == 0:
+            return 0
+        per_value = np.dtype(self.residual_dtype).itemsize
+        scale = 4 if self.residual_mode == 1 else 0
+        return scale + self.residual_values * per_value
+
+    @property
     def chunk_size(self) -> int:
-        return ORIGIN_BYTES + self.block_data_size
+        return ORIGIN_BYTES + self.block_data_size + self.residual_bytes
 
 
 class VqvdbWriter:
@@ -199,6 +254,9 @@ class VqvdbWriter:
         self._blocks_written_in_grid = 0
         self._declared_blocks = 0
         self._grid_open = False
+        self._residual_mode = 0
+        self._residual_channels = 0
+        self._residual_values = 0
         # Placeholder header: real values are seeked-in on close (ref:
         # writer ctor writes default-constructed header, finalizeHeader()
         # rewrites it with the true grid count).
@@ -235,11 +293,18 @@ class VqvdbWriter:
                 "version=4"
             )
 
+        if metadata.residual_mode and self.version != FORMAT_VERSION_V6:
+            raise FormatError(
+                "residual-correction streams require format version 6")
+
         self._index_bytes = _index_bytes(self.version, metadata.num_embeddings)
         self._num_indices = metadata.num_indices
         self._declared_blocks = int(metadata.total_blocks)
         self._blocks_written_in_grid = 0
         self._grid_open = True
+        self._residual_mode = int(metadata.residual_mode)
+        self._residual_channels = int(metadata.residual_channels)
+        self._residual_values = metadata.residual_values
 
         name_bytes = metadata.name.encode("utf-8")
         f.write(struct.pack("<I", len(name_bytes)))
@@ -249,16 +314,24 @@ class VqvdbWriter:
             np.asarray(metadata.latent_shape, dtype=np.uint16).tobytes()
         )
         f.write(struct.pack("<I", int(metadata.total_blocks)))
-        if self.version == FORMAT_VERSION_V5:
+        if _framed(self.version):
             f.write(struct.pack("<B", self._codec_id))
+        if self.version == FORMAT_VERSION_V6:
+            f.write(struct.pack("<BB", self._residual_mode,
+                                self._residual_channels))
         self._num_grids += 1
 
-    def write_batch(self, indices: np.ndarray, origins: np.ndarray) -> None:
-        """Append a batch of (origin, indices) chunks — interleaved for
-        v3/v4, one compressed frame for v5.
+    def write_batch(self, indices: np.ndarray, origins: np.ndarray,
+                    scales: Optional[np.ndarray] = None,
+                    residual: Optional[np.ndarray] = None) -> None:
+        """Append a batch of (origin, indices[, residual]) chunks —
+        interleaved for v3/v4, one compressed frame for v5/v6.
 
-        indices: uint8 [B, *latent_shape] (or [B, block_data_size])
-        origins: int32 [B, 3] leaf origins in index space
+        indices:  uint8 [B, *latent_shape] (or [B, block_data_size])
+        origins:  int32 [B, 3] leaf origins in index space
+        scales:   f32 [B] per-leaf residual scales (v6 int8 mode only)
+        residual: i8/f16 [B, 512*C] (or any [B, ...] of that size;
+                  v6 residual grids only)
         """
         f = self._require_open()
         if indices.shape[0] == 0:
@@ -267,10 +340,32 @@ class VqvdbWriter:
         indices = np.ascontiguousarray(indices, dtype=dtype).reshape(
             indices.shape[0], -1
         )
-        if self.version == FORMAT_VERSION_V5:
+        if self._residual_mode == 0 and (scales is not None
+                                         or residual is not None):
+            raise FormatError(
+                "residual data passed to a grid declared without residuals")
+        if _framed(self.version):
             n = indices.shape[0]
             raw = (_delta_encode_origins(origins).tobytes()
                    + indices.tobytes())
+            if self._residual_mode:
+                rdtype = np.int8 if self._residual_mode == 1 else np.float16
+                if residual is None:
+                    raise FormatError("residual grid batch without residual")
+                residual = np.ascontiguousarray(residual, rdtype).reshape(n, -1)
+                if residual.shape[1] != self._residual_values:
+                    raise FormatError(
+                        f"residual rows carry {residual.shape[1]} values, "
+                        f"grid declares {self._residual_values}")
+                if self._residual_mode == 1:
+                    if scales is None:
+                        raise FormatError("int8 residual batch without scales")
+                    scales = np.ascontiguousarray(scales, np.float32).reshape(-1)
+                    if scales.shape[0] != n:
+                        raise FormatError(
+                            f"{scales.shape[0]} scales vs {n} chunks")
+                    raw += scales.tobytes()
+                raw += residual.tobytes()
             blob = _v5_compress(self._codec_id, raw)
             f.write(struct.pack("<IQ", n, len(blob)))
             f.write(blob)
@@ -364,9 +459,11 @@ class VqvdbReader:
         self._meta: Optional[GridMetadata] = None
         self._blocks_read = 0
         self._grid_codec_id = 0
-        # v5 frame buffer: decompressed chunks not yet handed out.
+        # v5/v6 frame buffer: decompressed chunks not yet handed out.
         self._buf_indices: Optional[np.ndarray] = None
         self._buf_origins: Optional[np.ndarray] = None
+        self._buf_scales: Optional[np.ndarray] = None
+        self._buf_residual: Optional[np.ndarray] = None
 
     # -- context manager -------------------------------------------------
     def __enter__(self) -> "VqvdbReader":
@@ -405,14 +502,23 @@ class VqvdbReader:
         (total_blocks,) = struct.unpack(
             "<I", self._read_exact(4, "total block count")
         )
-        if self.version == FORMAT_VERSION_V5:
+        residual_mode = residual_channels = 0
+        if _framed(self.version):
             (self._grid_codec_id,) = struct.unpack(
                 "<B", self._read_exact(1, "v5 codec id"))
             if self._grid_codec_id not in V5_CODECS.values():
                 raise FormatError(
                     f"unknown v5 payload codec {self._grid_codec_id}")
+            if self.version == FORMAT_VERSION_V6:
+                residual_mode, residual_channels = struct.unpack(
+                    "<BB", self._read_exact(2, "v6 residual descriptor"))
+                if residual_mode not in RESIDUAL_MODE_NAMES:
+                    raise FormatError(
+                        f"unknown v6 residual mode {residual_mode}")
             self._buf_indices = None
             self._buf_origins = None
+            self._buf_scales = None
+            self._buf_residual = None
         self._meta = GridMetadata(
             name=name,
             num_embeddings=self.num_embeddings,
@@ -420,6 +526,8 @@ class VqvdbReader:
             total_blocks=int(total_blocks),
             transform=transform,
             index_bytes=_index_bytes(self.version, self.num_embeddings),
+            residual_mode=residual_mode,
+            residual_channels=residual_channels,
         )
         self._blocks_read = 0
         self._current_grid += 1
@@ -427,8 +535,8 @@ class VqvdbReader:
 
     @property
     def grid_codec(self) -> Optional[str]:
-        """Payload codec name of the current grid (v5 only; None otherwise)."""
-        if self.version != FORMAT_VERSION_V5:
+        """Payload codec name of the current grid (v5/v6 only; None otherwise)."""
+        if not _framed(self.version):
             return None
         return {cid: name for name, cid in V5_CODECS.items()}.get(
             self._grid_codec_id)
@@ -441,18 +549,37 @@ class VqvdbReader:
         """Read up to max_batch chunks.
 
         Returns (indices u8 [B, *latent_shape], origins i32 [B, 3]).
+        On a v6 residual grid the residual stream is parsed and dropped —
+        indices-only consumption of a residual file is a valid lossy decode
+        (use next_batch_residual to get the correction data).
         """
+        indices, origins, _, _ = self.next_batch_residual(max_batch)
+        return indices, origins
+
+    def next_batch_residual(
+        self, max_batch: int
+    ) -> Tuple[np.ndarray, np.ndarray, Optional[np.ndarray], Optional[np.ndarray]]:
+        """Read up to max_batch chunks with their residual correction data.
+
+        Returns (indices, origins, scales, residual):
+          scales   f32 [B]  per-leaf quantization scales (int8 mode; else None)
+          residual i8/f16 [B, 512*C] (None for grids without residuals)
+        """
+        meta = self._meta
         if not self.has_next():
-            empty_shape = (0,) + (self._meta.latent_shape if self._meta else ())
-            dtype = self._meta.index_dtype if self._meta else np.uint8
+            empty_shape = (0,) + (meta.latent_shape if meta else ())
+            dtype = meta.index_dtype if meta else np.uint8
+            mode = meta.residual_mode if meta else 0
             return (
                 np.empty(empty_shape, dtype=dtype),
                 np.empty((0, 3), dtype=np.int32),
+                np.empty((0,), np.float32) if mode == 1 else None,
+                (np.empty((0, meta.residual_values), meta.residual_dtype)
+                 if mode else None),
             )
-        meta = self._meta
         want = min(int(max_batch), meta.total_blocks - self._blocks_read)
-        if self.version == FORMAT_VERSION_V5:
-            return self._next_batch_v5(want)
+        if _framed(self.version):
+            return self._next_batch_framed(want)
         raw = self._f.read(want * meta.chunk_size)
         got = len(raw) // meta.chunk_size
         if got < want:
@@ -463,13 +590,14 @@ class VqvdbReader:
         indices = indices.view(meta.index_dtype).reshape(
             (got,) + meta.latent_shape)
         self._blocks_read += got
-        return indices, origins
+        return indices, origins, None, None
 
-    def _next_batch_v5(self, want: int) -> Tuple[np.ndarray, np.ndarray]:
+    def _next_batch_framed(self, want: int):
         """Serve up to `want` chunks from the frame buffer, refilling by
         decompressing whole frames (memory stays bounded by the writer's
         batch size, preserving the streaming contract)."""
         meta = self._meta
+        mode = meta.residual_mode
         while (self._buf_indices is None
                or self._buf_indices.shape[0] == 0):
             hdr = self._read_exact(12, "v5 frame header")
@@ -479,7 +607,8 @@ class VqvdbReader:
             remaining = meta.total_blocks - self._blocks_read
             if n == 0 or n > remaining:
                 raise FormatError("v5 frame chunk count out of range.")
-            raw_size = n * (ORIGIN_BYTES + meta.block_data_size)
+            raw_size = n * (ORIGIN_BYTES + meta.block_data_size
+                            + meta.residual_bytes)
             raw = _v5_decompress(self._grid_codec_id,
                                  self._read_exact(comp, "v5 frame payload"),
                                  raw_size)
@@ -488,16 +617,37 @@ class VqvdbReader:
             deltas = np.frombuffer(raw, np.int32,
                                    count=3 * n).reshape(n, 3)
             self._buf_origins = _delta_decode_origins(deltas)
+            off = n * ORIGIN_BYTES
             self._buf_indices = np.frombuffer(
-                raw, meta.index_dtype, offset=n * ORIGIN_BYTES
+                raw, meta.index_dtype, offset=off,
+                count=n * meta.num_indices
             ).reshape((n,) + meta.latent_shape)
+            off += n * meta.block_data_size
+            self._buf_scales = None
+            self._buf_residual = None
+            if mode == 1:
+                self._buf_scales = np.frombuffer(raw, np.float32, offset=off,
+                                                 count=n)
+                off += 4 * n
+            if mode:
+                self._buf_residual = np.frombuffer(
+                    raw, meta.residual_dtype, offset=off,
+                    count=n * meta.residual_values
+                ).reshape(n, meta.residual_values)
         take = min(want, self._buf_indices.shape[0])
-        indices = self._buf_indices[:take]
-        origins = self._buf_origins[:take]
+        indices = np.ascontiguousarray(self._buf_indices[:take])
+        origins = np.ascontiguousarray(self._buf_origins[:take])
         self._buf_indices = self._buf_indices[take:]
         self._buf_origins = self._buf_origins[take:]
+        scales = residual = None
+        if mode == 1:
+            scales = np.ascontiguousarray(self._buf_scales[:take])
+            self._buf_scales = self._buf_scales[take:]
+        if mode:
+            residual = np.ascontiguousarray(self._buf_residual[:take])
+            self._buf_residual = self._buf_residual[take:]
         self._blocks_read += take
-        return np.ascontiguousarray(indices), np.ascontiguousarray(origins)
+        return indices, origins, scales, residual
 
     def skip_grid_payload(self) -> int:
         """Skip the rest of the current grid's payload without decoding.
@@ -515,13 +665,14 @@ class VqvdbReader:
         size = f.seek(0, 2)
         f.seek(pos, 0)
         skipped = 0
-        if self.version == FORMAT_VERSION_V5:
+        if _framed(self.version):
             # Chunks already decompressed into the buffer were counted on
             # disk in their frame; drop them and walk the remaining frames.
             buffered = (0 if self._buf_indices is None
                         else self._buf_indices.shape[0])
             self._blocks_read += buffered
             self._buf_indices = self._buf_origins = None
+            self._buf_scales = self._buf_residual = None
             while self._blocks_read < meta.total_blocks:
                 hdr = self._read_exact(12, "v5 frame header")
                 n, comp = struct.unpack("<IQ", hdr)
