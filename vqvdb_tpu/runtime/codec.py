@@ -338,6 +338,34 @@ class VQCodec:
         while pending:
             yield pending.popleft()
 
+    def _pipelined_residual(self, leaves: np.ndarray):
+        """Encode->decode pipelined dispatch for the v6 residual tier.
+
+        Yields (device_indices, device_reconstruction, start, valid_count).
+        The reconstruction comes from `_decode_jit` — the SAME compiled
+        executable decompress will run — so the stored correction is exact
+        against what a decoder reproduces (runtime/residual.py)."""
+        bs = self.ccfg.batch_size
+        n_total = leaves.shape[0]
+        pending: collections.deque = collections.deque()
+        for s in range(0, max(n_total, 1), bs):
+            chunk = leaves[s : s + bs]
+            n = chunk.shape[0]
+            if n == 0:
+                break
+            if n < bs:
+                with self.profiler("host/pad"):
+                    pad = np.zeros((bs - n,) + chunk.shape[1:], chunk.dtype)
+                    chunk = np.concatenate([chunk, pad], axis=0)
+            with self.profiler("device/dispatch"):
+                dev_i = self._encode_jit(self.params, self._to_device(chunk))
+                dev_r = self._decode_jit(self.params, dev_i)
+            pending.append((dev_i, dev_r, s, n))
+            if len(pending) >= PIPELINE_DEPTH:
+                yield pending.popleft()
+        while pending:
+            yield pending.popleft()
+
     # -- file-level API (ref: VQVAECodec::compress / ::decompress) -------
     def compress(
         self,
@@ -347,16 +375,33 @@ class VQCodec:
         progress: bool = False,
         format_version: Optional[int] = None,
         compression: str = "zlib",
+        residual: Optional[str] = None,
     ) -> dict:
         """Encode grids and stream them to a `.vqvdb` v3 file.
 
         compression selects the v5 payload codec (zlib / lzma / lz4;
         ignored for v3/v4): zlib for the smallest files, lz4 for
         several-fold faster reads at a modestly lower ratio.
+
+        residual ("int8" | "f16" | None) turns on the v6 near-lossless
+        tier: each leaf's reconstruction error against the actual decode
+        executable is quantized and stored next to its indices, and
+        decompress adds it back — per-voxel error bounded by the
+        quantization step (runtime/residual.py). Forces format v6.
         Returns a stats dict (leaves, seconds, leaves/sec, bytes written).
         """
         if isinstance(grids, LeafGrid):
             grids = [grids]
+        if residual is not None:
+            from vqvdb_tpu.runtime.residual import RESIDUAL_MODES
+
+            if residual not in RESIDUAL_MODES:
+                raise ValueError(f"unknown residual mode {residual!r}")
+            if format_version is None:
+                format_version = 6
+            elif format_version != 6:
+                raise ValueError(
+                    "residual correction requires format version 6")
         if format_version is None:
             # v3 stores 1 byte per index (ref: VQVDB_Reader.cpp chunk layout)
             # and is the byte-identical default; codebooks beyond 256 (e.g.
@@ -376,8 +421,28 @@ class VQCodec:
                     latent_shape=self.mcfg.index_shape,
                     total_blocks=grid.num_leaves,
                     transform=grid.transform,
+                    residual_mode=(0 if residual is None else
+                                   {"int8": 1, "f16": 2}[residual]),
+                    residual_channels=(0 if residual is None
+                                       else grid.channels),
                 )
                 w.start_grid(meta)
+                if residual is not None:
+                    from vqvdb_tpu.runtime.residual import quantize_residual
+
+                    for dev_i, dev_r, s, n in self._pipelined_residual(
+                            grid.leaves):
+                        idx = self._host_rows(dev_i, n)
+                        rec = self._host_rows(dev_r, n)
+                        err = grid.leaves[s : s + n] - rec
+                        scales, q = quantize_residual(err, residual)
+                        w.write_batch(idx, grid.origins[s : s + n], scales, q)
+                        total += n
+                        if progress:
+                            print(f"[compress] {grid.name}: "
+                                  f"{s + n}/{grid.num_leaves}")
+                    w.end_grid()
+                    continue
                 for dev, s, n in self._pipelined(self._encode_jit, grid.leaves):
                     idx = self._host_rows(dev, n)
                     w.write_batch(idx, grid.origins[s : s + n])
@@ -411,19 +476,32 @@ class VQCodec:
             upper exclusive; only leaves intersecting the box are decoded
             (filtered chunks are re-packed into full device batches, so
             device work scales with the selection, not the file).
+
+        v6 residual grids are corrected transparently: the stored
+        quantized reconstruction error is added to each batch on the host
+        (runtime/residual.py), so yielded leaves carry the near-lossless
+        tier's error bound.
         """
-        for meta, dev, org, n in self._decode_stream_dev(in_path,
-                                                         grids=grids,
-                                                         bbox=bbox):
-            yield meta, self._host_rows(dev, n), org
+        from vqvdb_tpu.runtime.residual import apply_residual
+
+        for meta, dev, org, n, sc, res in self._decode_stream_dev(
+                in_path, grids=grids, bbox=bbox):
+            rows = self._host_rows(dev, n)
+            if res is not None:
+                if not rows.flags.writeable:
+                    rows = rows.copy()  # _host_rows may alias device memory
+                apply_residual(rows, sc, res)
+            yield meta, rows, org
 
     def _decode_stream_dev(self, in_path: Union[str, Path], *,
                            grids=None, bbox=None):
         """decode_stream's device-level core: yields (grid_metadata,
-        device_batch, origins, valid_count) with the result still on
-        device, so consumers that own their destination memory (e.g.
-        `decompress`'s preallocated grid arrays) can materialize each
-        batch with a single host copy via `_host_rows(..., out=)`."""
+        device_batch, origins, valid_count, scales, residual) with the
+        result still on device, so consumers that own their destination
+        memory (e.g. `decompress`'s preallocated grid arrays) can
+        materialize each batch with a single host copy via
+        `_host_rows(..., out=)` and apply the v6 residual correction
+        there. scales/residual are None for grids without residuals."""
         names = None
         if grids is not None:
             names = {grids} if isinstance(grids, str) else set(grids)
@@ -447,11 +525,24 @@ class VQCodec:
                         f"file latent shape {meta.latent_shape} != model "
                         f"{self.mcfg.index_shape}"
                     )
+                if (meta.residual_mode
+                        and meta.residual_channels != self.mcfg.in_channels):
+                    raise ModelMismatchError(
+                        f"file residual stream has {meta.residual_channels} "
+                        f"channels, model decodes {self.mcfg.in_channels}")
                 bs = self.ccfg.batch_size
+                mode = meta.residual_mode
                 pending: collections.deque = collections.deque()
-                carry_i = carry_o = None
+                carry = None
 
-                def _dispatch(idx, org):
+                def _unpack(hosts):
+                    """hosts list -> (origins, scales, residual)."""
+                    org = hosts[0]
+                    sc = hosts[1] if mode == 1 else None
+                    res = hosts[-1] if mode else None
+                    return org, sc, res
+
+                def _dispatch(idx, hosts):
                     n = idx.shape[0]
                     chunk = idx
                     if n < bs:
@@ -459,29 +550,37 @@ class VQCodec:
                             [idx, np.zeros((bs - n,) + idx.shape[1:], idx.dtype)]
                         )
                     dev = self._decode_jit(self.params, self._to_device(chunk))
-                    pending.append((meta, dev, org, n))
+                    org, sc, res = _unpack(hosts)
+                    pending.append((meta, dev, org, n, sc, res))
 
                 while r.has_next():
-                    idx, org = r.next_batch(bs)
+                    idx, org, sc, res = r.next_batch_residual(bs)
+                    # Host-side per-chunk arrays ride alongside the indices
+                    # through filtering/regrouping (they never go to device).
+                    hosts = ([org] + ([sc] if mode == 1 else [])
+                             + ([res] if mode else []))
                     if lo is not None:
                         keep = (np.all(org < hi, axis=1)
                                 & np.all(org + LEAF_DIM > lo, axis=1))
-                        idx, org = idx[keep], org[keep]
+                        idx = idx[keep]
+                        hosts = [h[keep] for h in hosts]
                         if idx.shape[0] == 0:
                             continue
-                    if carry_i is not None:
-                        idx = np.concatenate([carry_i, idx])
-                        org = np.concatenate([carry_o, org])
-                        carry_i = carry_o = None
+                    if carry is not None:
+                        idx = np.concatenate([carry[0], idx])
+                        hosts = [np.concatenate([a, b])
+                                 for a, b in zip(carry[1], hosts)]
+                        carry = None
                     while idx.shape[0] >= bs:
-                        _dispatch(idx[:bs], org[:bs])
-                        idx, org = idx[bs:], org[bs:]
+                        _dispatch(idx[:bs], [h[:bs] for h in hosts])
+                        idx = idx[bs:]
+                        hosts = [h[bs:] for h in hosts]
                         if len(pending) >= PIPELINE_DEPTH:
                             yield pending.popleft()
                     if idx.shape[0]:
-                        carry_i, carry_o = idx, org
-                if carry_i is not None:
-                    _dispatch(carry_i, carry_o)
+                        carry = (idx, hosts)
+                if carry is not None:
+                    _dispatch(carry[0], carry[1])
                 while pending:
                     yield pending.popleft()
 
@@ -520,12 +619,14 @@ class VQCodec:
                     transform=cur_meta.transform,
                 ))
 
+        from vqvdb_tpu.runtime.residual import apply_residual
+
         # Batches land directly in per-grid arrays preallocated from the
         # grid metadata — one host copy per byte (see _host_rows) instead
-        # of the gather-then-concatenate two.
-        for meta, dev, origins, n in self._decode_stream_dev(in_path,
-                                                             grids=grids,
-                                                             bbox=bbox):
+        # of the gather-then-concatenate two. v6 residual corrections are
+        # applied to the destination slice in place.
+        for meta, dev, origins, n, sc, res in self._decode_stream_dev(
+                in_path, grids=grids, bbox=bbox):
             if meta is not cur_meta:
                 _finish()
                 cur_meta = meta
@@ -536,7 +637,10 @@ class VQCodec:
                 cursor = 0
                 if progress:
                     print(f"[decompress] {meta.name}: {meta.total_blocks} leaves")
-            self._host_rows(dev, n, out=leaves_out[cursor : cursor + n])
+            dst = leaves_out[cursor : cursor + n]
+            self._host_rows(dev, n, out=dst)
+            if res is not None:
+                apply_residual(dst, sc, res)
             origins_out[cursor : cursor + n] = origins
             cursor += n
             total += n
