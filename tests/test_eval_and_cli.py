@@ -232,3 +232,42 @@ def test_persistent_compile_cache_off(monkeypatch):
     from vqvdb_tpu.utils.compile_cache import enable_persistent_cache
 
     assert enable_persistent_cache() is None
+
+
+def test_cli_residual_tier_roundtrip(tmp_path, capsys):
+    """encode --residual int8 -> v6 file; info reports the tier; decode
+    returns the corrected (near-original) leaves."""
+    from vqvdb_tpu.vdb.grid import psnr
+
+    cfg = ModelConfig(embedding_dim=32, num_embeddings=64)
+    params = init_vqvae_params(jax.random.key(1), cfg)
+    model_path = tmp_path / "m.vqmodel"
+    save_model(model_path, params, cfg)
+
+    g = smoke_grid(32, seed=2)
+    src = tmp_path / "vol.npy"
+    np.save(src, g.leaves[..., 0])
+
+    vq = tmp_path / "scene.vqvdb"
+    rc = cli_main(["encode", str(src), str(vq), "--model", str(model_path),
+                   "--batch-size", "32", "--compute-dtype", "float32",
+                   "--residual", "int8", "--v5-codec", "lz4"])
+    assert rc == 0
+    capsys.readouterr()
+
+    rc = cli_main(["info", str(vq)])
+    assert rc == 0
+    info = json.loads(capsys.readouterr().out)
+    assert info["version"] == 6
+    assert info["grids"][0]["residual"] == "int8"
+    assert info["grids"][0]["residual_channels"] == 1
+    assert info["grids"][0]["payload_codec"] == "lz4"
+
+    out_dir = tmp_path / "decoded"
+    rc = cli_main(["decode", str(vq), str(out_dir), "--model",
+                   str(model_path), "--batch-size", "32",
+                   "--compute-dtype", "float32"])
+    assert rc == 0
+    got = np.load(out_dir / "vol.npy")
+    # untrained model, yet the corrected output is near-original
+    assert psnr(got.reshape(g.leaves.shape), g.leaves) > 45.0

@@ -62,13 +62,16 @@ def encode(
     progress: bool = False,
     format_version: Optional[int] = None,
     compression: str = "zlib",
+    residual: Optional[str] = None,
 ) -> dict:
     """Compress grids to a `.vqvdb` file (SOP encoder cook semantics,
     ref: SOP_VQVDB_Encoder.cpp:84-141). format_version: None = auto
     (v3, or v4 for K>256); 5 = compressed-payload extension (~1.5x
     smaller files, not readable by the reference runtime).
     compression: v5 payload codec — zlib (smallest), lzma, or lz4
-    (several-fold faster reads)."""
+    (several-fold faster reads).
+    residual: 'int8' / 'f16' enables the v6 near-lossless tier (stored
+    reconstruction-error correction; see runtime/residual.py)."""
     codec = model if isinstance(model, VQCodec) else make_codec(
         model, batch_size=batch_size)
     if isinstance(grids, LeafGrid):
@@ -79,7 +82,7 @@ def encode(
             raise ValueError(f"no grid named {name_filter!r}")
     return codec.compress(list(grids), out_path, progress=progress,
                           format_version=format_version,
-                          compression=compression)
+                          compression=compression, residual=residual)
 
 
 def decode(

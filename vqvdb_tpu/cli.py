@@ -161,7 +161,8 @@ def _cmd_encode(args) -> int:
                            data_parallel=args.data_parallel)
     stats = api.encode(grids, codec, args.output, progress=args.verbose,
                        format_version=args.format_version,
-                       compression=args.v5_codec)
+                       compression=args.v5_codec,
+                       residual=args.residual)
     print(json.dumps({"grids": len(grids), **{k: round(v, 2) if isinstance(v, float)
                                               else v for k, v in stats.items()}}))
     return 0
@@ -299,9 +300,14 @@ def _cmd_info(args) -> int:
                 "total_blocks": meta.total_blocks,
                 "chunk_bytes": meta.chunk_size,
             }
+            if meta.residual_mode:
+                from vqvdb_tpu.format.vqvdb import RESIDUAL_MODE_NAMES
+
+                entry["residual"] = RESIDUAL_MODE_NAMES[meta.residual_mode]
+                entry["residual_channels"] = meta.residual_channels
             payload = r.skip_grid_payload()
             # Actual on-disk payload size (equals total_blocks*chunk_bytes
-            # for v3/v4; the compressed frame bytes for v5).
+            # for v3/v4; the compressed frame bytes for v5/v6).
             entry["payload_bytes"] = payload
             if r.grid_codec is not None:
                 entry["payload_codec"] = r.grid_codec
@@ -607,15 +613,22 @@ def main(argv=None) -> int:
     pe.add_argument("--data-parallel", action="store_true",
                     help="shard each device step over all local devices")
     pe.add_argument("--format-version", type=int, default=None,
-                    choices=[3, 4, 5],
+                    choices=[3, 4, 5, 6],
                     help="container version: default auto (3, or 4 for "
-                         "K>256); 5 adds payload compression (~1.5x "
-                         "smaller, not readable by the reference runtime)")
+                         "K>256; 6 with --residual); 5 adds payload "
+                         "compression (~1.5x smaller, not readable by the "
+                         "reference runtime)")
     pe.add_argument("--v5-codec", default="zlib",
                     choices=["zlib", "lzma", "lz4"],
-                    help="v5 payload codec (with --format-version 5): zlib "
-                         "for the smallest files, lz4 for several-fold "
+                    help="v5/v6 payload codec (with --format-version 5/6): "
+                         "zlib for the smallest files, lz4 for several-fold "
                          "faster reads")
+    pe.add_argument("--residual", default=None, choices=["int8", "f16"],
+                    help="near-lossless tier (v6): store per-leaf "
+                         "reconstruction-error corrections next to the "
+                         "indices; decode applies them automatically "
+                         "(int8: ~84 dB at ~6x on the flagship; f16: "
+                         "error = one half-precision rounding)")
     pe.add_argument("-v", "--verbose", action="store_true")
     pe.set_defaults(func=_cmd_encode)
 

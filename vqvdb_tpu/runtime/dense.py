@@ -294,6 +294,14 @@ def decode_file_to_dense(
                 raise ModelMismatchError(
                     f"file latent shape {meta.latent_shape} != model "
                     f"{codec.mcfg.index_shape}")
+            if meta.residual_mode:
+                import warnings
+
+                warnings.warn(
+                    f"grid '{meta.name}' carries a v6 residual-correction "
+                    "stream; the dense device path decodes indices only "
+                    "(lossy). Use codec.decompress for the corrected "
+                    "output.", stacklevel=2)
             idx_parts, org_parts = [], []
             while r.has_next():
                 idx, org = r.next_batch(codec.ccfg.batch_size)
