@@ -77,3 +77,23 @@ def test_cli_sequence_roundtrip(tmp_path, capsys):
         assert r.name == "density"
         np.testing.assert_array_equal(np.sort(r.origins, axis=0),
                                       np.sort(g.origins, axis=0))
+
+
+def test_sequence_residual_tier(tmp_path):
+    """encode_sequence(residual=...) writes v6 frames; decode_sequence
+    returns near-original leaves even with an untrained model."""
+    from vqvdb_tpu.format.vqvdb import VqvdbReader
+    from vqvdb_tpu.vdb.grid import psnr
+
+    cfg = ModelConfig(embedding_dim=32, num_embeddings=64)
+    codec = VQCodec(init_vqvae_params(jax.random.key(2), cfg), cfg,
+                    CodecConfig(batch_size=32, compute_dtype="float32"))
+    frames = [smoke_grid(24, seed=60 + i) for i in range(2)]
+    api.encode_sequence(frames, codec, tmp_path / "seq", residual="int8",
+                        compression="lz4")
+    with VqvdbReader(tmp_path / "seq" / "frame_0000.vqvdb") as r:
+        assert r.version == 6
+        assert r.next_grid_metadata().residual_mode == 1
+    decoded, _ = api.decode_sequence(tmp_path / "seq", codec)
+    for frame, orig in zip(decoded, frames):
+        assert psnr(frame[0].leaves, orig.leaves) > 45.0

@@ -112,11 +112,15 @@ def encode_sequence(
     *,
     pattern: str = "frame_{:04d}.vqvdb",
     batch_size: int = 4096,
+    format_version: Optional[int] = None,
+    compression: str = "zlib",
+    residual: Optional[str] = None,
 ) -> dict:
     """Encode an animated VDB sequence, one `.vqvdb` per frame (the
     reference's per-frame Houdini cook loop). The codec — and its compiled
     graphs — is built once and reused across frames, so steady-state
-    per-frame cost is pure pipeline time.
+    per-frame cost is pure pipeline time. format_version / compression /
+    residual as in `encode`.
     """
     codec = model if isinstance(model, VQCodec) else make_codec(
         model, batch_size=batch_size)
@@ -125,7 +129,9 @@ def encode_sequence(
     per_frame = []
     total_leaves = 0
     for i, frame in enumerate(frames):
-        stats = codec.compress(frame, out_dir / pattern.format(i))
+        stats = codec.compress(frame, out_dir / pattern.format(i),
+                               format_version=format_version,
+                               compression=compression, residual=residual)
         per_frame.append(stats["seconds"])
         total_leaves += stats["leaves"]
     return {

@@ -235,7 +235,10 @@ def _cmd_encode_seq(args) -> int:
                            compute_dtype=args.compute_dtype,
                            data_parallel=args.data_parallel)
     stats = api.encode_sequence(frames, codec, args.output_dir,
-                                pattern=args.pattern)
+                                pattern=args.pattern,
+                                format_version=args.format_version,
+                                compression=args.v5_codec,
+                                residual=args.residual)
     stats["inputs"] = [f.name for f in files]
     print(json.dumps({k: round(v, 4) if isinstance(v, float) else v
                       for k, v in stats.items()}))
@@ -675,6 +678,12 @@ def main(argv=None) -> int:
     pes.add_argument("--batch-size", type=int, default=4096)
     pes.add_argument("--compute-dtype", default="bfloat16")
     pes.add_argument("--data-parallel", action="store_true")
+    pes.add_argument("--format-version", type=int, default=None,
+                     choices=[3, 4, 5, 6])
+    pes.add_argument("--v5-codec", default="zlib",
+                     choices=["zlib", "lzma", "lz4"])
+    pes.add_argument("--residual", default=None, choices=["int8", "f16"],
+                     help="near-lossless tier per frame (v6)")
     pes.set_defaults(func=_cmd_encode_seq)
 
     pds = sub.add_parser("decode-seq",
