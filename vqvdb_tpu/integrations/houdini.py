@@ -176,16 +176,20 @@ def cook_encoder(
     model: str = "",
     node=None,
     grids: Optional[Sequence[LeafGrid]] = None,
+    residual: Optional[str] = None,
 ) -> dict:
     """Encoder cook (ref: SOP_VQVDB_Encoder.cpp:84-141 — collect grids,
-    filter by name, compress to outputpath)."""
+    filter by name, compress to outputpath). `residual` ('int8'/'f16')
+    selects the v6 near-lossless tier — a parm the HDK node could not
+    offer (the reference container is index-only)."""
     if grids is None:
         if node is None:
             raise ValueError("pass `grids` outside Houdini, or `node` inside")
         grids = _grids_from_hou_node(node)
     return api.encode(list(grids), model, outputpath,
                       batch_size=batchsize,
-                      name_filter=vdbname or None)
+                      name_filter=vdbname or None,
+                      residual=residual)
 
 
 def cook_decoder(
