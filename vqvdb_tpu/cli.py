@@ -284,6 +284,18 @@ def _cmd_vdbinfo(args) -> int:
     return 0
 
 
+def _cmd_transcode(args) -> int:
+    from vqvdb_tpu.format.transcode import transcode
+
+    stats = transcode(args.input, args.output,
+                      version=args.format_version,
+                      compression=args.v5_codec,
+                      drop_residual=args.drop_residual,
+                      grids=args.grid or None)
+    print(json.dumps(stats))
+    return 0
+
+
 def _cmd_info(args) -> int:
     from vqvdb_tpu.format.vqvdb import VqvdbReader
 
@@ -662,6 +674,25 @@ def main(argv=None) -> int:
     pi = sub.add_parser("info", help="Inspect a .vqvdb file.")
     pi.add_argument("input")
     pi.set_defaults(func=_cmd_info)
+
+    pt = sub.add_parser("transcode",
+                        help="Rewrite a .vqvdb container (version / "
+                             "payload codec / tier / grid subset) without "
+                             "a model.")
+    pt.add_argument("input")
+    pt.add_argument("output")
+    pt.add_argument("--format-version", type=int, default=None,
+                    choices=[3, 4, 5, 6],
+                    help="target version (default: keep the source's)")
+    pt.add_argument("--v5-codec", default="zlib",
+                    choices=["zlib", "lzma", "lz4"],
+                    help="target payload codec for v5/v6")
+    pt.add_argument("--drop-residual", action="store_true",
+                    help="confirm discarding a v6 residual stream (the "
+                         "output decodes lossy)")
+    pt.add_argument("--grid", action="append", default=[],
+                    help="keep only this grid (repeatable)")
+    pt.set_defaults(func=_cmd_transcode)
 
     pes = sub.add_parser("encode-seq",
                          help="Encode an animated sequence (one .vqvdb "
