@@ -72,8 +72,14 @@ def main() -> None:
         ("lossy-v5-zlib", flagship, dict(format_version=5)),
         ("rvq2-v5-zlib", rvq2, dict(format_version=5)),
         ("residual-int8", flagship, dict(residual="int8")),
+        ("residual-int8-tol2e-3", flagship,
+         dict(residual="int8", residual_tol=2e-3)),
+        ("residual-int8-tol5e-4", flagship,
+         dict(residual="int8", residual_tol=5e-4)),
         ("residual-f16", flagship, dict(residual="f16")),
         ("rvq2-residual-int8", rvq2, dict(residual="int8")),
+        ("rvq2-residual-int8-tol5e-4", rvq2,
+         dict(residual="int8", residual_tol=5e-4)),
     ]
     out = {"scene_leaves": g.num_leaves, "compute_dtype": compute,
            "psnr_metric": "pooled -10*log10(global MSE), peak 1.0",

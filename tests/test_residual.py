@@ -185,3 +185,44 @@ def test_mesh_compress_matches_single_device(tmp_path):
     (got,), _ = codec.decompress(pn)
     (ref,), _ = _codec(batch=64).decompress(p1)
     np.testing.assert_array_equal(got.leaves, ref.leaves)
+
+
+def test_residual_tol_floor_and_bound(tmp_path):
+    """residual_tol floors the step: error <= max(leaf_max_err/254, tol),
+    well-fit leaves quantize to zeros, and files get smaller."""
+    rng = np.random.default_rng(2)
+    err = rng.standard_normal((6, 8, 8, 8, 1)).astype(np.float32)
+    err[:4] *= 1e-5   # "well-fit" leaves
+    err[4:] *= 0.05   # badly-fit leaves
+    tol = 1e-3
+    scales, q = quantize_residual(err, "int8", tol)
+    # floor active exactly where leaf max error < 254*tol
+    amax = np.abs(err).reshape(6, -1).max(1)
+    np.testing.assert_allclose(scales, np.maximum(amax / 127, 2 * tol),
+                               rtol=1e-6)
+    assert np.all(q[:4] == 0)  # 1e-5 noise under a 2e-3 step -> zeros
+    rec = np.zeros_like(err)
+    apply_residual(rec, scales, q)
+    assert np.all(np.abs(err - rec) <= np.maximum(amax / 254, tol)[
+        :, None, None, None, None] + 1e-9)
+
+    with pytest.raises(ValueError):
+        quantize_residual(err, "f16", tol)
+
+    # Through the file: a tol'd file must be meaningfully smaller than the
+    # max-precision tier on content the model fits well in places.
+    codec = _codec()
+    g = smoke_grid(48, seed=11)
+    p_max = tmp_path / "max.vqvdb"
+    p_tol = tmp_path / "tol.vqvdb"
+    codec.compress(g, p_max, residual="int8")
+    # untrained model: large errors; pick tol near the typical error so
+    # the floor engages broadly
+    codec.compress(g, p_tol, residual="int8", residual_tol=0.05)
+    assert p_tol.stat().st_size < p_max.stat().st_size
+    (got,), _ = codec.decompress(p_tol)
+    assert np.abs(got.leaves - g.leaves).max() <= 0.05 + 1e-6
+
+    with pytest.raises(ValueError):
+        codec.compress(g, tmp_path / "x.vqvdb", residual="f16",
+                       residual_tol=0.01)

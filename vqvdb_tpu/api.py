@@ -63,6 +63,7 @@ def encode(
     format_version: Optional[int] = None,
     compression: str = "zlib",
     residual: Optional[str] = None,
+    residual_tol: Optional[float] = None,
 ) -> dict:
     """Compress grids to a `.vqvdb` file (SOP encoder cook semantics,
     ref: SOP_VQVDB_Encoder.cpp:84-141). format_version: None = auto
@@ -71,7 +72,9 @@ def encode(
     compression: v5 payload codec — zlib (smallest), lzma, or lz4
     (several-fold faster reads).
     residual: 'int8' / 'f16' enables the v6 near-lossless tier (stored
-    reconstruction-error correction; see runtime/residual.py)."""
+    reconstruction-error correction; see runtime/residual.py).
+    residual_tol: int8-mode target max abs error — floors the
+    quantization step so well-fit leaves cost almost nothing."""
     codec = model if isinstance(model, VQCodec) else make_codec(
         model, batch_size=batch_size)
     if isinstance(grids, LeafGrid):
@@ -82,7 +85,8 @@ def encode(
             raise ValueError(f"no grid named {name_filter!r}")
     return codec.compress(list(grids), out_path, progress=progress,
                           format_version=format_version,
-                          compression=compression, residual=residual)
+                          compression=compression, residual=residual,
+                          residual_tol=residual_tol)
 
 
 def decode(

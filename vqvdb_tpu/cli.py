@@ -162,7 +162,8 @@ def _cmd_encode(args) -> int:
     stats = api.encode(grids, codec, args.output, progress=args.verbose,
                        format_version=args.format_version,
                        compression=args.v5_codec,
-                       residual=args.residual)
+                       residual=args.residual,
+                       residual_tol=args.residual_tol)
     print(json.dumps({"grids": len(grids), **{k: round(v, 2) if isinstance(v, float)
                                               else v for k, v in stats.items()}}))
     return 0
@@ -644,6 +645,11 @@ def main(argv=None) -> int:
                          "indices; decode applies them automatically "
                          "(int8: ~84 dB at ~6x on the flagship; f16: "
                          "error = one half-precision rounding)")
+    pe.add_argument("--residual-tol", type=float, default=None,
+                    help="int8-mode target max abs error: error bound "
+                         "becomes max(leaf_max_err/254, tol) and "
+                         "already-good leaves quantize to compressible "
+                         "zeros (smaller files)")
     pe.add_argument("-v", "--verbose", action="store_true")
     pe.set_defaults(func=_cmd_encode)
 

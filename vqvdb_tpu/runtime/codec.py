@@ -376,6 +376,7 @@ class VQCodec:
         format_version: Optional[int] = None,
         compression: str = "zlib",
         residual: Optional[str] = None,
+        residual_tol: Optional[float] = None,
     ) -> dict:
         """Encode grids and stream them to a `.vqvdb` v3 file.
 
@@ -388,6 +389,9 @@ class VQCodec:
         executable is quantized and stored next to its indices, and
         decompress adds it back — per-voxel error bounded by the
         quantization step (runtime/residual.py). Forces format v6.
+        residual_tol (int8 mode) floors the step at 2*tol: error bound
+        becomes max(leaf_max_err/254, tol) and already-good leaves
+        quantize to compressible zeros.
         Returns a stats dict (leaves, seconds, leaves/sec, bytes written).
         """
         if isinstance(grids, LeafGrid):
@@ -397,6 +401,8 @@ class VQCodec:
 
             if residual not in RESIDUAL_MODES:
                 raise ValueError(f"unknown residual mode {residual!r}")
+            if residual_tol is not None and residual != "int8":
+                raise ValueError("residual_tol applies to the int8 mode only")
             if format_version is None:
                 format_version = 6
             elif format_version != 6:
@@ -435,7 +441,8 @@ class VQCodec:
                         idx = self._host_rows(dev_i, n)
                         rec = self._host_rows(dev_r, n)
                         err = grid.leaves[s : s + n] - rec
-                        scales, q = quantize_residual(err, residual)
+                        scales, q = quantize_residual(err, residual,
+                                                      residual_tol)
                         w.write_batch(idx, grid.origins[s : s + n], scales, q)
                         total += n
                         if progress:

@@ -29,21 +29,34 @@ import numpy as np
 RESIDUAL_MODES = ("int8", "f16")
 
 
-def quantize_residual(err: np.ndarray, mode: str
+def quantize_residual(err: np.ndarray, mode: str, tol: Optional[float] = None
                       ) -> Tuple[Optional[np.ndarray], np.ndarray]:
     """Quantize per-leaf reconstruction errors for storage.
 
     err: f32 [n, 8, 8, 8, C] (any [n, ...] layout; flattened per leaf).
     Returns (scales f32 [n] | None, residual i8/f16 [n, voxels*C]).
+
+    tol (int8 mode): target max absolute error. Per-leaf max scaling alone
+    amplifies a nearly-perfect leaf's noise to the full int8 range —
+    incompressible bytes spent below any fidelity anyone asked for. With
+    tol, the quantization step is floored at 2*tol: leaves already within
+    ~127*2*tol of exact quantize to (mostly zero, highly compressible)
+    codes while still landing under tol; badly-fit leaves keep the
+    max/127 scaling. Bound: per-voxel error <= max(leaf_max_err/254, tol).
     """
     if mode not in RESIDUAL_MODES:
         raise ValueError(f"unknown residual mode {mode!r}")
     n = err.shape[0]
     flat = np.ascontiguousarray(err, np.float32).reshape(n, -1)
     if mode == "f16":
+        if tol is not None:
+            raise ValueError("tol applies to the int8 mode only")
         return None, flat.astype(np.float16)
     amax = np.abs(flat).max(axis=1)
-    scales = np.maximum(amax / 127.0, 1e-12).astype(np.float32)
+    scales = np.maximum(amax / 127.0, 1e-12)
+    if tol is not None:
+        scales = np.maximum(scales, 2.0 * float(tol))
+    scales = scales.astype(np.float32)
     q = np.rint(flat / scales[:, None])
     return scales, np.clip(q, -127, 127).astype(np.int8)
 
