@@ -226,3 +226,18 @@ def test_residual_tol_floor_and_bound(tmp_path):
     with pytest.raises(ValueError):
         codec.compress(g, tmp_path / "x.vqvdb", residual="f16",
                        residual_tol=0.01)
+
+
+def test_residual_over_rvq_model(tmp_path):
+    """The residual tier composes with residual-VQ (S=2): indices are
+    [4,4,4,2], the correction bound still holds."""
+    codec = _codec(num_quantizers=2)
+    g = smoke_grid(48, seed=12)
+    path = tmp_path / "rvq_res.vqvdb"
+    codec.compress(g, path, residual="int8")
+    with VqvdbReader(path) as r:
+        meta = r.next_grid_metadata()
+        assert meta.latent_shape == (4, 4, 4, 2)
+        assert meta.residual_mode == 1
+    (got,), _ = codec.decompress(path)
+    assert psnr(got.leaves[..., 0], g.leaves[..., 0]) > 45.0
