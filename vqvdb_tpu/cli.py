@@ -335,6 +335,31 @@ def _cmd_info(args) -> int:
     return 0
 
 
+def _cmd_verify(args) -> int:
+    """Verify a .vqvdb archive: structural integrity, and (with --against)
+    round-trip fidelity vs the original source, including the v6 residual
+    tier's stored error bound (format/verify.py)."""
+    from vqvdb_tpu.format.verify import verify_container, verify_roundtrip
+
+    if args.against is None:
+        out = verify_container(args.input)
+    else:
+        if args.model is None:
+            print("error: --against requires --model", file=sys.stderr)
+            return 2
+        from vqvdb_tpu import api
+
+        sources = _load_grids(Path(args.against), args.grid)
+        if not sources:
+            print("error: no source grids matched", file=sys.stderr)
+            return 2
+        codec = api.make_codec(args.model, batch_size=args.batch_size,
+                               compute_dtype=args.compute_dtype)
+        out = verify_roundtrip(args.input, codec, sources)
+    print(json.dumps(out, indent=2))
+    return 0 if out["ok"] else 1
+
+
 def _cmd_bench(args) -> int:
     import bench  # repo-root harness
     bench.main()
@@ -743,6 +768,25 @@ def main(argv=None) -> int:
                               "decoding trees.")
     pvi.add_argument("input")
     pvi.set_defaults(func=_cmd_vdbinfo)
+
+    pvf = sub.add_parser(
+        "verify",
+        help="Verify a .vqvdb archive: structural integrity, and with "
+             "--against, round-trip fidelity vs the source (incl. the v6 "
+             "residual error bound). Exit 1 on any failed check.")
+    pvf.add_argument("input")
+    pvf.add_argument("--against", default=None,
+                     help="source to compare against (npy/.vdb file or "
+                          "directory, the encode-input convention)")
+    pvf.add_argument("--model", default=None,
+                     help="model artifact (required with --against); use "
+                          "the encode-time codec settings for exact v6 "
+                          "bound checks")
+    pvf.add_argument("--grid", default=None,
+                     help="restrict the source to one grid name")
+    pvf.add_argument("--batch-size", type=int, default=4096)
+    pvf.add_argument("--compute-dtype", default="bfloat16")
+    pvf.set_defaults(func=_cmd_verify)
 
     pb = sub.add_parser("bench", help="Run the decode-throughput benchmark.")
     pb.set_defaults(func=_cmd_bench)
