@@ -188,3 +188,26 @@ def test_cli_verify(tmp_path, capsys):
     assert cli_main(["verify", str(path)]) == 1
 
     assert cli_main(["verify", str(path), "--against", str(src)]) == 2
+
+
+def test_cli_verify_sequence_dir(tmp_path, capsys):
+    codec = _codec()
+    seq = tmp_path / "seq"
+    seq.mkdir()
+    for i in range(3):
+        codec.compress(smoke_grid(40, seed=10 + i),
+                       seq / f"frame_{i:04d}.vqvdb")
+    assert cli_main(["verify", str(seq)]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["ok"] and len(out["files"]) == 3
+
+    bad = seq / "frame_0001.vqvdb"
+    bad.write_bytes(bad.read_bytes()[:-10])
+    assert cli_main(["verify", str(seq)]) == 1
+    out = json.loads(capsys.readouterr().out)
+    assert not out["ok"]
+    assert sum(not f["ok"] for f in out["files"]) == 1
+
+    # --against is a single-archive operation.
+    assert cli_main(["verify", str(seq), "--against", "x"]) == 2
+    capsys.readouterr()

@@ -341,7 +341,20 @@ def _cmd_verify(args) -> int:
     tier's stored error bound (format/verify.py)."""
     from vqvdb_tpu.format.verify import verify_container, verify_roundtrip
 
-    if args.against is None:
+    in_path = Path(args.input)
+    if in_path.is_dir():
+        # Sequence form: audit every frame (encode-seq output directory).
+        if args.against is not None:
+            print("error: --against takes a single archive, not a "
+                  "directory", file=sys.stderr)
+            return 2
+        frames = sorted(in_path.glob("*.vqvdb"))
+        if not frames:
+            print("error: no .vqvdb files in directory", file=sys.stderr)
+            return 2
+        reports = [verify_container(f) for f in frames]
+        out = {"ok": all(r["ok"] for r in reports), "files": reports}
+    elif args.against is None:
         out = verify_container(args.input)
     else:
         if args.model is None:
@@ -774,7 +787,9 @@ def main(argv=None) -> int:
         help="Verify a .vqvdb archive: structural integrity, and with "
              "--against, round-trip fidelity vs the source (incl. the v6 "
              "residual error bound). Exit 1 on any failed check.")
-    pvf.add_argument("input")
+    pvf.add_argument("input",
+                     help=".vqvdb archive, or a directory of them (an "
+                          "encode-seq sequence) for per-frame audits")
     pvf.add_argument("--against", default=None,
                      help="source to compare against (npy/.vdb file or "
                           "directory, the encode-input convention)")
