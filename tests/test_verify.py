@@ -12,7 +12,6 @@ import json
 
 import jax
 import numpy as np
-import pytest
 
 from vqvdb_tpu.cli import main as cli_main
 from vqvdb_tpu.core.artifact import save_model
