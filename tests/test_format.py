@@ -112,6 +112,19 @@ def test_bad_magic_and_version(tmp_path):
         VqvdbReader(p)
 
 
+def test_v3_header_rejects_k_over_256(tmp_path):
+    # A v3 chunk stores one byte per index, so a v3 header declaring
+    # K>256 is internally inconsistent; the reader must reject it up
+    # front (docs/FORMATS.md error-handling contract) just as the writer
+    # refuses to produce it.
+    import struct
+
+    p = tmp_path / "k4096.vqvdb"
+    p.write_bytes(struct.pack("<5sBBIB", b"VQVDB", 3, 1, 4096, 3))
+    with pytest.raises(ValueError, match="256"):
+        VqvdbReader(p)
+
+
 def test_truncation_detected(tmp_path, rng):
     indices = rng.integers(0, 256, size=(10, 4, 4, 4), dtype=np.uint8)
     origins = np.zeros((10, 3), np.int32)

@@ -131,6 +131,37 @@ def test_roundtrip_clean_and_v6_bound(tmp_path):
     assert np.isfinite(row["psnr_db"])
 
 
+def test_roundtrip_on_corrupt_archive_reports_instead_of_raising(tmp_path):
+    # The exact input an audit tool exists for: a truncated archive must
+    # yield the container diagnosis and skip decoding, not re-raise the
+    # reader's FormatError as a stack trace.
+    codec = _codec()
+    g = smoke_grid(48, seed=4)
+    path = tmp_path / "trunc.vqvdb"
+    codec.compress(g, path, residual="int8")
+    path.write_bytes(path.read_bytes()[:-64])
+
+    rep = verify_roundtrip(path, codec, [g])
+    assert not rep["ok"]
+    assert rep["grids"] == []
+    assert "error" in rep["integrity"]
+
+
+def test_roundtrip_lossless_match_emits_json_safe_psnr(tmp_path):
+    # mse == 0 maps to psnr_db null (Infinity is not strict JSON); the
+    # lossless case is real: audit a file against its own decode.
+    codec = _codec()
+    g = smoke_grid(48, seed=5)
+    path = tmp_path / "l.vqvdb"
+    codec.compress(g, path)
+    (dec,), _ = codec.decompress(path)
+    rep = verify_roundtrip(path, codec, [dec])
+    assert rep["ok"], rep
+    (row,) = rep["grids"]
+    assert row["mse"] == 0.0 and row["psnr_db"] is None
+    json.dumps(rep, allow_nan=False)  # strict-JSON clean
+
+
 def test_roundtrip_detects_divergence(tmp_path):
     codec = _codec()
     g = smoke_grid(48, seed=3)

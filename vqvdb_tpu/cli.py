@@ -24,6 +24,8 @@ from pathlib import Path
 
 import numpy as np
 
+from vqvdb_tpu.utils.errors import VqvdbError
+
 
 def _cmd_train(args) -> int:
     import jax
@@ -896,6 +898,14 @@ def main(argv=None) -> int:
         return args.func(args)
     except BrokenPipeError:
         return 0  # e.g. `vqvdb info ... | head` closing stdout early
+    except VqvdbError as e:
+        # Typed domain errors (malformed container, model mismatch, bad
+        # artifact/config) are user-facing diagnoses, not crashes.
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+    except OSError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
 
 
 if __name__ == "__main__":

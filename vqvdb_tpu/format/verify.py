@@ -165,7 +165,18 @@ def verify_roundtrip(
     measured max error is checked against the stored-scale bound (see
     module docstring for the same-codec-config caveat)."""
     container = verify_container(path)
-    grids, _ = codec.decompress(path)
+    if container.get("error"):
+        # The archive didn't even read structurally — decoding it would
+        # re-raise the same reader failure as a stack trace, which is the
+        # one thing an audit tool must not do. Report the diagnosis.
+        return {"ok": False, "integrity": container, "grids": []}
+    try:
+        grids, _ = codec.decompress(path)
+    except (FormatError, VersionError, OSError) as e:
+        container = dict(container)
+        container["ok"] = False
+        container["error"] = f"{type(e).__name__}: {e}"
+        return {"ok": False, "integrity": container, "grids": []}
     by_name = {g.name: g for g in sources}
     bounds = {g["name"]: g.get("residual_bound")
               for g in container.get("grids", [])}
@@ -193,8 +204,10 @@ def verify_roundtrip(
             err = np.abs(a - b)
             m = float(np.mean((a - b) ** 2))
             row["mse"] = m
-            row["psnr_db"] = float("inf") if m == 0 else float(
-                -10.0 * np.log10(m))
+            # A lossless match would be +inf dB, but `Infinity` is not
+            # valid strict JSON (breaks jq and non-Python consumers of the
+            # CLI's output). Emit null; consumers key off mse == 0.
+            row["psnr_db"] = None if m == 0 else float(-10.0 * np.log10(m))
             row["max_abs_err"] = float(err.max())
             bound = bounds.get(dec.name)
             if bound is not None:

@@ -451,6 +451,15 @@ class VqvdbReader:
             raise VersionError(
                 f"Unsupported VQVDB version. Expected {FORMAT_VERSION}, got {version}"
             )
+        if version == FORMAT_VERSION and num_embeddings > 256:
+            # Mirror the writer's guard (start_grid): a v3 chunk stores one
+            # byte per index, so a v3 header declaring K>256 is internally
+            # inconsistent — its payload cannot express the declared
+            # codebook (docs/FORMATS.md error-handling contract).
+            raise FormatError(
+                "v3 stores 1 byte per index; header declares "
+                f"num_embeddings={int(num_embeddings)} > 256 "
+                "(corrupt or mis-versioned file)")
         self.version = int(version)
         self.num_grids = int(num_grids)
         self.num_embeddings = int(num_embeddings)
