@@ -84,11 +84,15 @@ def main() -> None:
           file=sys.stderr)
     idx = codec.encode_leaves(leaves)
     n = idx.shape[0]
-    lo, bdims, bids = _block_plan(origins)
+    lo, bdims, bids, _ = _block_plan(origins)
     n_blocks = int(np.prod(bdims))
     idx_steps = jnp.asarray(_pad_steps(idx, args.batch, 0))
     bid_steps = jnp.asarray(_pad_steps(bids, args.batch, n_blocks))
-    dense_fn = _dense_decode_fn(codec)
+    raw_fn = _dense_decode_fn(codec, None)
+
+    def dense_fn(params, x, bid_steps, n_blocks, bdims, bg):
+        return raw_fn(params, x, bid_steps, None, None, n_blocks, bdims, bg)
+
     K = codec.mcfg.num_embeddings
 
     def perturb(x):
@@ -154,6 +158,32 @@ def main() -> None:
     err = float(np.max(np.abs(np.asarray(dense) - host)))
     out["vs_host_max_abs_err"] = err
     assert err < 1e-5, err
+
+    # Mesh row: the same dense decode sharded by x-slabs over every local
+    # device (1 row on a single chip; N on a pod / the virtual CPU mesh).
+    n_dev = len(jax.devices())
+    if n_dev > 1:
+        from vqvdb_tpu.parallel.mesh import make_mesh
+
+        mesh_codec = api.make_codec(str(ROOT / "models" / "scalar.vqmodel"),
+                                    batch_size=args.batch,
+                                    mesh=make_mesh())
+        t0 = time.perf_counter()
+        mdense, _ = decode_to_dense(mesh_codec, idx, origins)
+        jax.block_until_ready(mdense)
+        t_first = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        mdense, _ = decode_to_dense(mesh_codec, idx, origins)
+        jax.block_until_ready(mdense)
+        dt = time.perf_counter() - t0
+        out["mesh_devices"] = n_dev
+        out["mesh_dense_leaves_per_s"] = round(n / dt)
+        out["mesh_dense_compile_s"] = round(t_first, 2)
+        single_full, _ = decode_to_dense(codec, idx, origins)
+        merr = float(np.max(np.abs(np.asarray(mdense)
+                                   - np.asarray(single_full))))
+        out["mesh_vs_single_max_abs_err"] = merr
+        assert merr == 0.0, merr
 
     dst = ROOT / "benchmarks" / "dense_r3.json"
     dst.write_text(json.dumps(out, indent=2))

@@ -58,6 +58,15 @@ int main() {
   for (size_t i = 0; i < dense2.size(); ++i)
     if (dense2[i] != 0.5f) { std::puts("scatter mismatch"); return 1; }
 
+  // Threaded flat copy (vq_copy_mt) — size above the 1 MiB threading
+  // threshold, forced to 4 workers so the parallel path runs even where
+  // hardware_concurrency() is 1.
+  std::vector<uint8_t> big(3u << 20), big2(3u << 20);
+  for (size_t i = 0; i < big.size(); ++i) big[i] = i & 0xFF;
+  vq_copy_mt(big.data(), big2.data(), static_cast<int64_t>(big.size()), 4);
+  for (size_t i = 0; i < big.size(); ++i)
+    if (big2[i] != big[i]) { std::puts("copy_mt mismatch"); return 1; }
+
   std::puts("tsan_check: all threaded paths clean");
   return 0;
 }

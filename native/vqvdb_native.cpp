@@ -360,6 +360,33 @@ int64_t vq_lz4_decompress(const uint8_t* src, int64_t src_len, uint8_t* dst,
   return op == oend ? dst_size : -1;
 }
 
-int vq_version() { return 2; }
+// ---------------------------------------------------------------------------
+// Threaded flat copy. The DP decode pipeline's host stage is memcpy-bound
+// (docs/DP_SCALING.md: ~1.4 ms per 4.2 MB batch on a 1-core host); on
+// multi-core hosts splitting the copy across workers multiplies effective
+// host bandwidth — this is DP_SCALING "fix (a)": each device shard's buffer
+// is materialized into its destination slice by a threaded native copy
+// instead of a single-threaded numpy assignment. `threads <= 0` uses the
+// hardware count.
+// ---------------------------------------------------------------------------
+void vq_copy_mt(const uint8_t* src, uint8_t* dst, int64_t n, int threads) {
+  if (threads <= 0) threads = hw_threads();
+  // Below ~1 MiB thread-spawn overhead exceeds the copy itself.
+  if (threads <= 1 || n < (1 << 20)) {
+    std::memcpy(dst, src, n);
+    return;
+  }
+  std::vector<std::thread> pool;
+  const int64_t chunk = (n + threads - 1) / threads;
+  for (int t = 0; t < threads; ++t) {
+    const int64_t s = t * chunk;
+    const int64_t e = std::min(n, s + chunk);
+    if (s >= e) break;
+    pool.emplace_back([=] { std::memcpy(dst + s, src + s, e - s); });
+  }
+  for (auto& th : pool) th.join();
+}
+
+int vq_version() { return 3; }
 
 }  // extern "C"

@@ -213,13 +213,73 @@ def test_vec3_dense_roundtrip(rng):
     np.testing.assert_array_equal(org2[:, 0] % 8, 0)
 
 
-def test_mesh_codec_rejected(rng):
+@pytest.fixture(scope="module")
+def mesh_codec():
     from vqvdb_tpu.parallel.mesh import make_mesh
 
     params = init_vqvae_params(jax.random.key(0), CFG)
-    codec = VQCodec(params, CFG,
-                    CodecConfig(batch_size=16, compute_dtype="float32"),
-                    mesh=make_mesh())
+    return VQCodec(params, CFG,
+                   CodecConfig(batch_size=16, compute_dtype="float32"),
+                   mesh=make_mesh())
+
+
+def test_mesh_dense_decode_bit_identical(codec, mesh_codec, rng):
+    """x-slab-sharded dense decode == single-device dense decode, bit for
+    bit (VERDICT r3 item 2) — incl. a skewed occupancy (slabs with zero
+    leaves) and a bbox thinner than the mesh along x."""
+    for bdims in ((17, 3, 2), (2, 5, 5)):
+        g = _sparse_grid(rng, bdims=bdims)
+        idx = codec.encode_leaves(g.leaves)
+        dense, lo = decode_to_dense(codec, idx, g.origins)
+        mdense, mlo = decode_to_dense(mesh_codec, idx, g.origins)
+        np.testing.assert_array_equal(lo, mlo)
+        np.testing.assert_array_equal(np.asarray(mdense), np.asarray(dense))
+
+
+def test_mesh_encode_dense_rejected(mesh_codec):
     with pytest.raises(ValueError, match="single-device"):
-        decode_to_dense(codec, np.zeros((4, 4, 4, 4), np.uint8),
-                        np.zeros((4, 3), np.int32))
+        encode_from_dense(mesh_codec, np.zeros((8, 8, 8), np.float32))
+
+
+def _residual_file(codec, tmp_path, rng, mode, name="dense_res"):
+    g = _sparse_grid(rng, bdims=(6, 3, 2))
+    path = tmp_path / f"{name}_{mode}.vqvdb"
+    codec.compress(g, path, residual=mode)
+    return g, path
+
+
+@pytest.mark.parametrize("mode", ["int8", "f16"])
+def test_dense_file_decode_applies_residual(codec, tmp_path, rng, mode):
+    """v6 archives decode residual-corrected on the dense path (round 3
+    decoded indices-only with a warning). Host-path agreement is to the
+    same 1e-6 standard as the plain dense tests (the scan-embedded decode
+    compiles separately from the standalone decode executable — 1-ulp
+    differences pre-date residuals), and the tier's error bound must hold
+    on the dense output."""
+    g, path = _residual_file(codec, tmp_path, rng, mode)
+    host_grids, _ = codec.decompress(path)
+    host_dense, _ = host_grids[0].to_dense()
+    out = decode_file_to_dense(codec, path)
+    d = np.asarray(out[0]["dense"])
+    np.testing.assert_allclose(d, host_dense, atol=1e-6)
+    # The near-lossless bound holds on the dense path: corrected output is
+    # far closer to the source than the indices-only decode.
+    src, _ = g.to_dense()
+    raw, _ = LeafGrid("d", g.origins,
+                      codec.decode_indices(codec.encode_leaves(g.leaves))
+                      ).to_dense()
+    err_corr = np.abs(d - src).max()
+    err_raw = np.abs(raw - src).max()
+    assert err_corr < err_raw * 0.1
+    if mode == "f16":
+        assert err_corr < 2e-3  # one half-precision rounding + 1 ulp
+
+
+@pytest.mark.parametrize("mode", ["int8", "f16"])
+def test_mesh_dense_residual_bit_identical(codec, mesh_codec, tmp_path,
+                                           rng, mode):
+    g, path = _residual_file(codec, tmp_path, rng, mode, name="mesh")
+    single = decode_file_to_dense(codec, path)
+    mesh = decode_file_to_dense(mesh_codec, path)
+    np.testing.assert_array_equal(np.asarray(mesh[0]["dense"]),
+                                  np.asarray(single[0]["dense"]))

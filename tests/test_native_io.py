@@ -198,3 +198,29 @@ def test_lz4_malformed_raises(rng):
         assert len(out) == len(data)  # decoded-but-different is acceptable
     except ValueError:
         pass
+
+
+def test_copy_into_parity(rng, monkeypatch):
+    """Threaded native copy == numpy assignment, incl. sliced views and
+    the above-threshold (threaded) size; falls back cleanly without the
+    lib."""
+    big = rng.random((700_000, 4)).astype(np.float32)  # >1 MiB: threaded
+    out = np.empty_like(big)
+    native_io.copy_into(out, big)
+    np.testing.assert_array_equal(out, big)
+
+    dst = np.zeros((1000, 64), np.float32)
+    src = rng.random((400, 64)).astype(np.float32)
+    native_io.copy_into(dst[100:500], src)
+    np.testing.assert_array_equal(dst[100:500], src)
+    assert not dst[:100].any() and not dst[500:].any()
+
+    # Non-contiguous destination takes the numpy path (still correct).
+    dst2 = np.zeros((100, 64), np.float32)
+    native_io.copy_into(dst2[:, ::2], np.ones((100, 32), np.float32))
+    assert dst2[:, ::2].all() and not dst2[:, 1::2].any()
+
+    _numpy_only(monkeypatch)
+    out2 = np.empty_like(big)
+    native_io.copy_into(out2, big)
+    np.testing.assert_array_equal(out2, big)

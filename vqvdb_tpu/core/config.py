@@ -44,6 +44,22 @@ class ModelConfig:
     # (src/Utils/VQVDB_Reader.cpp). Files declare index shape (4,4,4,S),
     # still a structurally valid v3 container.
     num_quantizers: int = 1
+    # Encoder graph family. "reference" reproduces the reference encoder
+    # stage-for-stage (python/VQVAE_v2.py:231-250 / :278-305) so torch
+    # checkpoints import bit-faithfully; it is HBM-bound by architecture on
+    # TPU (16-channel 8^3 stages, docs/ENCODE_ROOFLINE.md — 28.6% MFU).
+    # "packed" is the TPU-co-designed encoder: the leaf is space-to-channel
+    # packed to the 4^3 latent grid up front (a free reshape) and every
+    # stage runs MXU-shaped with >=64-wide channels — the same shapes that
+    # carry the decoder trunk to 62% MFU. Decoder, quantizer, and container
+    # are unchanged; interop exporters require "reference".
+    encoder_arch: str = "reference"
+
+    def __post_init__(self):
+        if self.encoder_arch not in ("reference", "packed"):
+            raise ValueError(
+                f"unknown encoder_arch {self.encoder_arch!r} "
+                "(expected 'reference' or 'packed')")
 
     @property
     def variant(self) -> str:

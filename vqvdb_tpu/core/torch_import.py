@@ -111,6 +111,11 @@ def _decoder(sd: Mapping, cfg: ModelConfig) -> Dict:
 def import_state_dict(sd: Mapping, cfg: ModelConfig) -> VQVAEParams:
     """Map a reference torch state_dict (tensors or numpy arrays) onto
     VQVAEParams. Raises KeyError with the missing key name on mismatch."""
+    if cfg.encoder_arch != "reference":
+        raise ValueError(
+            "torch checkpoints carry the reference encoder layout; import "
+            "them with encoder_arch='reference' (the packed arch is "
+            "TPU-only, trained from scratch)")
     sd = {k: (v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v))
           for k, v in sd.items()}
     vq = VQState(

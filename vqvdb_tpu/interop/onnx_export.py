@@ -215,6 +215,10 @@ def export_onnx(out_dir: Union[str, Path], params: VQVAEParams,
         raise ArtifactError(
             "ONNX export targets the reference runtime, which supports a "
             "single quantizer stage; residual-VQ models cannot be exported")
+    if cfg.encoder_arch != "reference":
+        raise ArtifactError(
+            "ONNX export targets the reference runtime's graphs; the packed "
+            "(TPU-co-designed) encoder cannot be exported")
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
     enc, dec = out / "encoder.onnx", out / "decoder.onnx"

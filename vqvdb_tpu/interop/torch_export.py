@@ -60,6 +60,10 @@ def export_state_dict(params: VQVAEParams, cfg: ModelConfig) -> Dict[str, np.nda
         raise ValueError(
             "torch export targets the reference layout, which has a single "
             "quantizer stage; residual-VQ models cannot be exported")
+    if cfg.encoder_arch != "reference":
+        raise ValueError(
+            "torch export targets the reference module tree; the packed "
+            "(TPU-co-designed) encoder has no torch counterpart")
     sd: Dict[str, np.ndarray] = {}
     enc = params.encoder
     _conv(sd, "encoder.pre.0", enc["pre_conv"])

@@ -106,9 +106,53 @@ def _init_decoder_vec3(key, cfg: ModelConfig, dtype) -> Params:
     }
 
 
+def packed_encoder_width(cfg: ModelConfig) -> int:
+    """Channel width of the packed (TPU-co-designed) encoder: mirrors the
+    decoder trunk width per variant (64 scalar / 128 vec3) — the widths
+    measured at 62% MFU on v5e (docs/DECODE_ROOFLINE.md)."""
+    return 64 if cfg.variant == "scalar" else 128
+
+
+def _init_encoder_packed(key, cfg: ModelConfig, dtype) -> Params:
+    """TPU-co-designed encoder (cfg.encoder_arch == "packed").
+
+    The reference encoder's 8^3 16-channel stages are HBM-bound by
+    architecture (docs/ENCODE_ROOFLINE.md: 28.6% MFU, every kernel-level
+    fix measured and lost). This graph is MXU-shaped from the first layer
+    instead: space-to-channel pack the leaf onto the 4^3 latent grid (a
+    free reshape — lossless, 8 voxels -> 8 channels), then run the decoder
+    trunk's mirror image at >=64-wide channels:
+
+        s2c(2): (8,8,8,C) -> (4,4,4,8C)
+        stem:   conv k3 (8C -> W) + GN(8) + relu
+        rb:     residual block (W)
+        attn:   channel attention (W)
+        proj:   1x1 conv (W -> D)   [fused into the quantizer score GEMM
+                                     at inference, ops/quantize.py]
+
+    ~32 MFLOP/leaf scalar (vs the reference graph's 30 MFLOP at 28.6% MFU),
+    all in conv/GEMM shapes the v5e decoder trunk already runs at 62% MFU.
+    Not a reference graph: torch/ONNX interop exporters reject it.
+    """
+    w = packed_encoder_width(cfg)
+    k = jax.random.split(key, 4)
+    return {
+        "stem_conv": blocks.init_conv3d(k[0], cfg.in_channels * 8, w, 3,
+                                        dtype=dtype),
+        "stem_gn": blocks.init_group_norm(w, dtype),
+        "rb": blocks.init_residual_block(k[1], w, dtype),
+        "attn": blocks.init_channel_attention(k[2], w, dtype=dtype),
+        "proj": blocks.init_conv3d(k[3], w, cfg.embedding_dim, 1, dtype=dtype),
+    }
+
+
 def init_vqvae_params(key, cfg: ModelConfig, dtype=jnp.float32) -> VQVAEParams:
     ke, kd, kq = jax.random.split(key, 3)
-    if cfg.variant == "scalar":
+    if cfg.encoder_arch == "packed":
+        enc = _init_encoder_packed(ke, cfg, dtype)
+        dec = (_init_decoder_scalar(kd, cfg, dtype) if cfg.variant == "scalar"
+               else _init_decoder_vec3(kd, cfg, dtype))
+    elif cfg.variant == "scalar":
         enc = _init_encoder_scalar(ke, cfg, dtype)
         dec = _init_decoder_scalar(kd, cfg, dtype)
     else:
@@ -126,10 +170,25 @@ def init_vqvae_params(key, cfg: ModelConfig, dtype=jnp.float32) -> VQVAEParams:
 # Apply
 # ---------------------------------------------------------------------------
 
+def _encoder_features_packed(params: Params, x: jnp.ndarray,
+                             cfg: ModelConfig) -> jnp.ndarray:
+    """Packed-encoder features: (B,8,8,8,C) -> (B,4,4,4,W).
+    See _init_encoder_packed for the graph rationale."""
+    from vqvdb_tpu.ops.packed import space_to_channel
+
+    h = space_to_channel(x, 2)  # free reshape: (B,4,4,4, 8C)
+    h = blocks.conv3d(params["stem_conv"], h, padding=1)
+    h = jax.nn.relu(blocks.group_norm(params["stem_gn"], h, 8))
+    h = blocks.residual_block(params["rb"], h)
+    return blocks.channel_attention(params["attn"], h)
+
+
 def encoder_features(params: Params, x: jnp.ndarray, cfg: ModelConfig) -> jnp.ndarray:
     """Encoder up to (excluding) the 1x1 projection: (B,8,8,8,C) ->
-    (B,4,4,4,32|128). Split out so inference can fuse the projection into
+    (B,4,4,4,32|64|128). Split out so inference can fuse the projection into
     the quantizer's score matmul (see runtime/codec.py)."""
+    if cfg.encoder_arch == "packed":
+        return _encoder_features_packed(params, x, cfg)
     if cfg.variant == "scalar":
         h = blocks.conv3d(params["pre_conv"], x, padding=1)
         h = jax.nn.relu(blocks.group_norm(params["pre_gn"], h, 4))
@@ -156,7 +215,8 @@ def encoder_features_packed_down(params: Params, folded_down: Params,
                                  x: jnp.ndarray, cfg: ModelConfig,
                                  split_in: int = 0,
                                  fuse_rb16: bool = False) -> jnp.ndarray:
-    """encoder_features with the strided downsampling conv executed on the
+    """[reference encoder only — the packed arch has no strided conv]
+    encoder_features with the strided downsampling conv executed on the
     space-to-channel packed grid (exact identity; ops/packed.py). The
     strided conv (k4 s2 scalar / k3 s2 vec3) is the slowest encoder stage
     on v5e; as a k3 SAME conv on (4^3, C*8) it runs at MXU-friendly

@@ -119,9 +119,11 @@ class VQCodec:
                 np.asarray(proj["w"]), np.asarray(proj["b"]),
                 np.asarray(params.vq.embedding))
         # Strided down-conv on the space-to-channel packed grid (exact;
-        # ops/packed.py) — the slowest encoder stage otherwise.
+        # ops/packed.py) — the slowest encoder stage otherwise. Applies to
+        # the reference encoder only: the packed arch has no strided conv
+        # (it lives on the coarse grid from the first layer).
         self._folded_down = None
-        if self.ccfg.pack_down_conv:
+        if self.ccfg.pack_down_conv and self.mcfg.encoder_arch == "reference":
             from vqvdb_tpu.ops.packed import fold_strided_conv
 
             down = params.encoder["down"]
@@ -302,13 +304,18 @@ class VQCodec:
             return out
         if out is None:
             out = np.empty((n,) + tuple(dev.shape[1:]), dev.dtype)
+        from vqvdb_tpu.runtime.native_io import copy_into
+
         for sh in shards:
             r0 = sh.index[0].start or 0
             if r0 >= n:
                 continue
             data = np.asarray(sh.data)
             rows = min(data.shape[0], n - r0)
-            out[r0 : r0 + rows] = data[:rows]
+            # Threaded native copy (DP_SCALING fix (a)): on multi-core
+            # hosts the per-shard materialization splits across workers;
+            # falls back to numpy assignment when the lib isn't built.
+            copy_into(out[r0 : r0 + rows], data[:rows])
         return out
 
     def _pipelined(self, step_fn, data: np.ndarray):

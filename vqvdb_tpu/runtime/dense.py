@@ -29,14 +29,26 @@ Sizing: the dense buffer must fit HBM — a 512^3 float volume is 512 MB,
 comfortably inside a v5e's 16 GB. Compilation is per (bbox block dims,
 step count); reuse the same codec across calls to hit jit's cache.
 
-Single-device by design: the scatter/gather target is one unsharded HBM
-buffer. Data-parallel meshes shard the *leaf* axis (parallel/mesh.py);
-sharding a scatter destination would route rows through all-to-alls for
-no bandwidth win at this model size.
+Mesh execution (codec built with a mesh): the dense volume is sharded by
+x-slabs of leaf blocks over the 1-D data mesh. The host partitions the
+block plan per slab (each leaf's scatter target determines its owner), each
+device decodes + scatters ONLY its slab's leaves into its local buffer
+shard, and the assembled global array comes back sharded along X — no
+cross-chip traffic in the step at all (scatter/gather stay shard-local by
+construction; the only cost of skew is padded steps on underfull shards).
+Output is bit-identical to the single-device path: per-leaf decode is the
+same compiled math and scatter placement is exact.
+
+v6 residual archives are corrected ON DEVICE: the compact stored stream
+(int8 rows + f32 scales, or f16 rows — the same bytes the file holds) rides
+up with the indices and the correction is added inside the scan, so the
+near-lossless tier's bound survives without the 2 KiB/leaf host round trip
+the sparse path pays (math identical to runtime/residual.apply_residual).
 """
 
 from __future__ import annotations
 
+import functools
 from pathlib import Path
 from typing import List, Optional, Sequence, Tuple, Union
 
@@ -54,8 +66,9 @@ PathLike = Union[str, Path]
 def _check_single_device(codec) -> None:
     if codec.mesh is not None:
         raise ValueError(
-            "dense device paths are single-device; build the codec without "
-            "a mesh (the dense buffer is one unsharded HBM array)")
+            "dense device *encode* is single-device today; build the codec "
+            "without a mesh (decode_to_dense / decode_file_to_dense are "
+            "mesh-capable)")
 
 
 def _block_plan(origins: np.ndarray, lo: Optional[np.ndarray] = None,
@@ -91,7 +104,7 @@ def _block_plan(origins: np.ndarray, lo: Optional[np.ndarray] = None,
     bids = np.ravel_multi_index(
         (bi[:, 0], bi[:, 1], bi[:, 2]), bdims
     ).astype(np.int32) if origins.shape[0] else np.zeros(0, np.int32)
-    return lo, bdims, bids
+    return lo, bdims, bids, bi.astype(np.int32)
 
 
 def _pad_steps(arr: np.ndarray, bs: int, fill) -> np.ndarray:
@@ -103,34 +116,128 @@ def _pad_steps(arr: np.ndarray, bs: int, fill) -> np.ndarray:
     return out.reshape((steps, bs) + arr.shape[1:])
 
 
-def _dense_decode_fn(codec):
-    """Jitted (params, idx_steps, bid_steps, nB*, bdims*, background) ->
-    dense [X,Y,Z,C]; cached on the codec so jit's shape cache is hit."""
-    fn = getattr(codec, "_dense_decode_jit", None)
-    if fn is not None:
-        return fn
+def _scan_scatter(codec, buf, idx_steps, bid_steps, sc_steps, res_steps,
+                  params, mode: Optional[str]):
+    """Decode + (optional residual-correct) + row-scatter scan into buf.
+
+    The correction math mirrors runtime/residual.apply_residual exactly
+    (f32 residual add, int8 rows scaled per leaf) so device-corrected
+    output is bit-identical to the host path's."""
+    row = buf.shape[-1]
+
+    def body(buf, xs):
+        if mode == "int8":
+            idx_b, bid_b, sc_b, res_b = xs
+        elif mode == "f16":
+            idx_b, bid_b, res_b = xs
+        else:
+            idx_b, bid_b = xs
+        dec = codec._decode_step(params, idx_b)  # [bs,8,8,8,C] f32
+        rows = dec.reshape(dec.shape[0], row)
+        if mode == "int8":
+            # Round the product before the add (optimization_barrier blocks
+            # FMA contraction) so the device correction is bit-identical to
+            # the host path's two-step numpy math, not 1 ulp off.
+            corr = jax.lax.optimization_barrier(
+                res_b.astype(jnp.float32) * sc_b[:, None])
+            rows = rows + corr
+        elif mode == "f16":
+            rows = rows + res_b.astype(jnp.float32)
+        return buf.at[bid_b].set(rows), None
+
+    xs = (idx_steps, bid_steps)
+    if mode == "int8":
+        xs = (idx_steps, bid_steps, sc_steps, res_steps)
+    elif mode == "f16":
+        xs = (idx_steps, bid_steps, res_steps)
+    buf, _ = jax.lax.scan(body, buf, xs)
+    return buf
+
+
+def _blocks_to_dense(buf, n_blocks: int, bdims, c: int):
+    nx, ny, nz = bdims
+    ld = LEAF_DIM
+    blocks = buf[:n_blocks].reshape(nx, ny, nz, ld, ld, ld, c)
+    return blocks.transpose(0, 3, 1, 4, 2, 5, 6).reshape(
+        nx * ld, ny * ld, nz * ld, c)
+
+
+def _dense_decode_fn(codec, mode: Optional[str]):
+    """Jitted (params, idx_steps, bid_steps, sc_steps, res_steps, nB*,
+    bdims*, background) -> dense [X,Y,Z,C]; cached per residual mode on the
+    codec so jit's shape cache is hit."""
+    cache = getattr(codec, "_dense_decode_jit", None)
+    if cache is None:
+        cache = codec._dense_decode_jit = {}
+    if mode in cache:
+        return cache[mode]
 
     c = codec.mcfg.in_channels
     row = LEAF_DIM ** 3 * c
 
-    def decode_dense(params, idx_steps, bid_steps, n_blocks, bdims,
-                     background):
+    def decode_dense(params, idx_steps, bid_steps, sc_steps, res_steps,
+                     n_blocks, bdims, background):
         buf = jnp.full((n_blocks + 1, row), background, jnp.float32)
+        buf = _scan_scatter(codec, buf, idx_steps, bid_steps, sc_steps,
+                            res_steps, params, mode)
+        return _blocks_to_dense(buf, n_blocks, bdims, c)
 
-        def body(buf, xs):
-            idx_b, bid_b = xs
-            dec = codec._decode_step(params, idx_b)  # [bs,8,8,8,C] f32
-            return buf.at[bid_b].set(dec.reshape(dec.shape[0], row)), None
+    fn = jax.jit(decode_dense, static_argnums=(5, 6))
+    cache[mode] = fn
+    return fn
 
-        buf, _ = jax.lax.scan(body, buf, (idx_steps, bid_steps))
-        nx, ny, nz = bdims
-        ld = LEAF_DIM
-        blocks = buf[:n_blocks].reshape(nx, ny, nz, ld, ld, ld, c)
-        return blocks.transpose(0, 3, 1, 4, 2, 5, 6).reshape(
-            nx * ld, ny * ld, nz * ld, c)
 
-    fn = jax.jit(decode_dense, static_argnums=(3, 4))
-    codec._dense_decode_jit = fn
+def _mesh_dense_decode_fn(codec, mode: Optional[str]):
+    """Mesh variant: per-shard scan into the local slab buffer; the global
+    result assembles sharded along X (out_spec P(data) on the slab axis).
+
+    Inputs arrive [n_dev, steps, bs, ...] — axis 0 is the shard axis the
+    host partitioned by slab ownership."""
+    cache = getattr(codec, "_mesh_dense_decode_jit", None)
+    if cache is None:
+        cache = codec._mesh_dense_decode_jit = {}
+    if mode in cache:
+        return cache[mode]
+
+    from jax.sharding import PartitionSpec as P
+
+    from vqvdb_tpu.parallel.mesh import DATA_AXIS, _shard_map
+
+    mesh = codec.mesh
+    c = codec.mcfg.in_channels
+    row = LEAF_DIM ** 3 * c
+
+    def decode_dense(params, idx_steps, bid_steps, sc_steps, res_steps,
+                     n_local, bdims, background):
+        arrs = [idx_steps, bid_steps]
+        if mode == "int8":
+            arrs += [sc_steps, res_steps]
+        elif mode == "f16":
+            arrs += [res_steps]
+
+        def local(params, background, *shard_arrs):
+            idx_s, bid_s = shard_arrs[0][0], shard_arrs[1][0]
+            sc_s = shard_arrs[2][0] if mode == "int8" else None
+            res_s = shard_arrs[-1][0] if mode else None
+            buf = jnp.full((n_local + 1, row), background, jnp.float32)
+            buf = _scan_scatter(codec, buf, idx_s, bid_s, sc_s, res_s,
+                                params, mode)
+            return buf[None, :n_local]
+
+        spec = (P(), P()) + (P(DATA_AXIS),) * len(arrs)
+        mapped = _shard_map(local, mesh, in_specs=spec,
+                            out_specs=P(DATA_AXIS))
+        blocks = mapped(params, background, *arrs)
+        # [n_dev, n_local, row] sharded on axis 0; slabs are x-major, so
+        # flattening the shard axis into the block axis is exact.
+        nx_pad = blocks.shape[0] * (n_local // (bdims[1] * bdims[2]))
+        dense = _blocks_to_dense(blocks.reshape(-1, row),
+                                 blocks.shape[0] * n_local,
+                                 (nx_pad, bdims[1], bdims[2]), c)
+        return dense[: bdims[0] * LEAF_DIM]  # crop slab padding
+
+    fn = jax.jit(decode_dense, static_argnums=(5, 6))
+    cache[mode] = fn
     return fn
 
 
@@ -174,6 +281,18 @@ def _dense_encode_fns(codec):
 # public API
 # ---------------------------------------------------------------------------
 
+def _residual_mode(scales, residual) -> Optional[str]:
+    if residual is None:
+        return None
+    if residual.dtype == np.int8:
+        if scales is None:
+            raise VqvdbError("int8 residual stream requires per-leaf scales")
+        return "int8"
+    if residual.dtype == np.float16:
+        return "f16"
+    raise VqvdbError(f"unknown residual dtype {residual.dtype}")
+
+
 def decode_to_dense(
     codec,
     indices: np.ndarray,
@@ -182,6 +301,8 @@ def decode_to_dense(
     lo: Optional[Sequence[int]] = None,
     shape: Optional[Tuple[int, int, int]] = None,
     background: float = 0.0,
+    scales: Optional[np.ndarray] = None,
+    residual: Optional[np.ndarray] = None,
 ) -> Tuple[Array, np.ndarray]:
     """Decode [N,4,4,4] indices into a device-resident dense volume.
 
@@ -189,24 +310,78 @@ def decode_to_dense(
     bbox lower corner, index space). `lo`/`shape` pin the output frame;
     by default it is the origins' bounding box. Inactive voxels hold
     `background`. `np.asarray(dense)` materializes on the host if needed.
+
+    scales/residual: a v6 near-lossless correction stream (per-leaf f32
+    scales + int8 rows, or f16 rows — see runtime/residual.py). The
+    correction is applied on device inside the scatter scan, preserving
+    the tier's error bound without any host-side leaf materialization.
+
+    With a mesh codec the volume is decoded data-parallel, sharded by
+    x-slabs (module docstring); output is bit-identical to single-device.
     """
-    _check_single_device(codec)
     indices = np.ascontiguousarray(indices,
                                    np.dtype(codec.mcfg.index_dtype))
-    lo_arr, bdims, bids = _block_plan(origins,
-                                      None if lo is None else np.asarray(lo),
-                                      shape)
+    mode = _residual_mode(scales, residual)
+    lo_arr, bdims, bids, bi = _block_plan(
+        origins, None if lo is None else np.asarray(lo), shape)
     n_blocks = int(np.prod(bdims)) if indices.shape[0] else 0
     if indices.shape[0] == 0:
         c = codec.mcfg.in_channels
         return jnp.zeros((0, 0, 0, c), jnp.float32), lo_arr
     bs = codec.ccfg.batch_size
-    idx_steps = _pad_steps(indices, bs, 0)
-    # Padded rows scatter into the trash row (index n_blocks).
-    bid_steps = _pad_steps(bids, bs, n_blocks)
-    fn = _dense_decode_fn(codec)
-    dense = fn(codec.params, jnp.asarray(idx_steps), jnp.asarray(bid_steps),
-               n_blocks, bdims, jnp.float32(background))
+
+    if codec.mesh is None:
+        idx_steps = _pad_steps(indices, bs, 0)
+        # Padded rows scatter into the trash row (index n_blocks).
+        bid_steps = _pad_steps(bids, bs, n_blocks)
+        sc_steps = res_steps = None
+        if mode == "int8":
+            sc_steps = jnp.asarray(_pad_steps(
+                np.ascontiguousarray(scales, np.float32), bs, 0))
+        if mode:
+            res_steps = jnp.asarray(_pad_steps(
+                np.ascontiguousarray(residual), bs, 0))
+        fn = _dense_decode_fn(codec, mode)
+        dense = fn(codec.params, jnp.asarray(idx_steps),
+                   jnp.asarray(bid_steps), sc_steps, res_steps,
+                   n_blocks, bdims, jnp.float32(background))
+        return dense, lo_arr
+
+    # Mesh: partition leaves by x-slab owner, pad every shard to the same
+    # step count, decode+scatter shard-locally.
+    n_dev = int(codec.mesh.devices.size)
+    nx, ny, nz = bdims
+    nx_local = -(-nx // n_dev)
+    n_local = nx_local * ny * nz
+    owner = bi[:, 0] // nx_local
+    local_bids = (((bi[:, 0] % nx_local) * ny + bi[:, 1]) * nz
+                  + bi[:, 2]).astype(np.int32)
+    counts = np.bincount(owner, minlength=n_dev)
+    steps = max(1, -(-int(counts.max()) // bs))
+    shp = (n_dev, steps * bs)
+    idx_dev = np.zeros(shp + indices.shape[1:], indices.dtype)
+    bid_dev = np.full(shp, n_local, np.int32)  # trash row
+    sc_dev = np.zeros(shp, np.float32) if mode == "int8" else None
+    res_dev = (np.zeros(shp + residual.shape[1:], residual.dtype)
+               if mode else None)
+    for k in range(n_dev):
+        sel = owner == k
+        m = int(counts[k])
+        idx_dev[k, :m] = indices[sel]
+        bid_dev[k, :m] = local_bids[sel]
+        if sc_dev is not None:
+            sc_dev[k, :m] = scales[sel]
+        if res_dev is not None:
+            res_dev[k, :m] = residual[sel]
+
+    def _steps(a):
+        return jnp.asarray(a.reshape((n_dev, steps, bs) + a.shape[2:]))
+
+    fn = _mesh_dense_decode_fn(codec, mode)
+    dense = fn(codec.params, _steps(idx_dev), _steps(bid_dev),
+               None if sc_dev is None else _steps(sc_dev),
+               None if res_dev is None else _steps(res_dev),
+               n_local, bdims, jnp.float32(background))
     return dense, lo_arr
 
 
@@ -275,13 +450,15 @@ def decode_file_to_dense(
     volumes. Returns [{name, dense (device [X,Y,Z,C]), lo, transform}].
 
     The host touches only the compact payload (indices at 64 B/leaf +
-    origins): batches are collected per grid (to know the bbox before the
-    buffer is allocated), then decoded + scattered in one dispatch.
+    origins, plus the v6 residual stream if present): batches are collected
+    per grid (to know the bbox before the buffer is allocated), then
+    decoded + scattered in one dispatch. v6 residual grids are corrected on
+    device inside the scan — the near-lossless tier's error bound holds on
+    this path too (it decoded indices-only through round 3).
     """
     from vqvdb_tpu.format.vqvdb import VqvdbReader
     from vqvdb_tpu.utils.errors import ModelMismatchError
 
-    _check_single_device(codec)
     out: List[dict] = []
     with VqvdbReader(in_path) as r:
         if r.num_embeddings != codec.mcfg.num_embeddings:
@@ -294,26 +471,31 @@ def decode_file_to_dense(
                 raise ModelMismatchError(
                     f"file latent shape {meta.latent_shape} != model "
                     f"{codec.mcfg.index_shape}")
-            if meta.residual_mode:
-                import warnings
-
-                warnings.warn(
-                    f"grid '{meta.name}' carries a v6 residual-correction "
-                    "stream; the dense device path decodes indices only "
-                    "(lossy). Use codec.decompress for the corrected "
-                    "output.", stacklevel=2)
-            idx_parts, org_parts = [], []
+            if (meta.residual_mode
+                    and meta.residual_channels != codec.mcfg.in_channels):
+                raise ModelMismatchError(
+                    f"file residual stream has {meta.residual_channels} "
+                    f"channels, model decodes {codec.mcfg.in_channels}")
+            idx_parts, org_parts, sc_parts, res_parts = [], [], [], []
             while r.has_next():
-                idx, org = r.next_batch(codec.ccfg.batch_size)
+                idx, org, sc, res = r.next_batch_residual(
+                    codec.ccfg.batch_size)
                 idx_parts.append(idx)
                 org_parts.append(org)
+                if sc is not None:
+                    sc_parts.append(sc)
+                if res is not None:
+                    res_parts.append(res)
             indices = (np.concatenate(idx_parts) if idx_parts
                        else np.zeros((0,) + codec.mcfg.index_shape,
                                      np.dtype(codec.mcfg.index_dtype)))
             origins = (np.concatenate(org_parts) if org_parts
                        else np.zeros((0, 3), np.int32))
+            scales = np.concatenate(sc_parts) if sc_parts else None
+            residual = np.concatenate(res_parts) if res_parts else None
             dense, lo = decode_to_dense(codec, indices, origins,
-                                        background=background)
+                                        background=background,
+                                        scales=scales, residual=residual)
             out.append({"name": meta.name, "dense": dense, "lo": lo,
                         "transform": meta.transform})
     return out

@@ -63,6 +63,8 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.vq_lz4_compress.restype = i64
         lib.vq_lz4_decompress.argtypes = [u8p, i64, u8p, i64]
         lib.vq_lz4_decompress.restype = i64
+    if lib.vq_version() >= 3:  # threaded copy
+        lib.vq_copy_mt.argtypes = [u8p, u8p, i64, ctypes.c_int]
     _lib = lib
     return _lib
 
@@ -159,6 +161,27 @@ def lz4_decompress(blob: bytes, dst_size: int) -> bytes:
         return py_decompress(blob, dst_size)
     except FormatError as e:
         raise ValueError(str(e)) from e
+
+
+# ---------------------------------------------------------------------------
+# Threaded flat copy (DP_SCALING fix (a): the decode pipeline's host stage
+# is memcpy-bound; a threaded native copy multiplies effective host
+# bandwidth on multi-core hosts).
+# ---------------------------------------------------------------------------
+
+def copy_into(dst: np.ndarray, src: np.ndarray, threads: int = 0) -> None:
+    """dst[...] = src via a threaded native memcpy when both arrays are
+    C-contiguous, same dtype/shape, and the lib is built; numpy otherwise.
+    threads=0 uses the hardware count."""
+    lib = _load()
+    if (lib is not None and lib.vq_version() >= 3
+            and dst.flags.c_contiguous and src.flags.c_contiguous
+            and dst.dtype == src.dtype and dst.shape == src.shape):
+        lib.vq_copy_mt(_p(src.view(np.uint8).reshape(-1), ctypes.c_uint8),
+                       _p(dst.view(np.uint8).reshape(-1), ctypes.c_uint8),
+                       dst.nbytes, threads)
+        return
+    np.copyto(dst, src)
 
 
 # ---------------------------------------------------------------------------
