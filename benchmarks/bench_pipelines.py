@@ -1,0 +1,149 @@
+"""Multi-pipeline file-decode harness + threaded-copy A/B (round 4).
+
+docs/DP_SCALING.md bounds file-level DP decode by the host memcpy floor
+(~1.4M leaves/s *per pipeline* on a 1-core host) and projects v5e-8
+aggregate as min(8 x 2.0M compute, n_pipelines x per-pipeline ceiling).
+Round 3 ASSERTED the n_pipelines multiplier; this harness MEASURES it:
+
+  pipelines  N OS processes, each running the full file decode pipeline
+             (VqvdbReader -> decode -> host materialization) on its own
+             .vqvdb file — the per-grid/per-frame parallelism a production
+             host would use. Reports aggregate leaves/s for N in 1..4.
+  copy_ab    the native threaded copy (vq_copy_mt, DP_SCALING fix (a))
+             vs numpy assignment at the measured 4.2 MB/batch size.
+
+On THIS 1-core host both measurements bound the environment, not the fix:
+N pipelines time-slice one core and threads split one memory controller.
+The numbers to read are the per-pipeline rate (does isolation hold?) and
+the copy parity (no regression from threading); multi-core scaling needs a
+production host. Writes benchmarks/dp_pipelines_r4.json.
+
+    VQVDB_PLATFORM=cpu python benchmarks/bench_pipelines.py --leaves 30000
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(ROOT))
+
+_WORKER = """
+import sys, time
+import jax
+jax.config.update("jax_platforms", "cpu")
+from vqvdb_tpu import api
+
+path, model, out = sys.argv[1], sys.argv[2], sys.argv[3]
+codec = api.make_codec(model, batch_size=2048, compute_dtype="float32")
+codec.check_latent_shape()  # compile before the timed region
+t0 = time.perf_counter()
+grids, stats = codec.decompress(path)
+dt = time.perf_counter() - t0
+open(out, "w").write(f"{stats['leaves']} {dt}")
+"""
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--leaves", type=int, default=30_000)
+    ap.add_argument("--max-pipelines", type=int, default=4)
+    ap.add_argument("--out", default="benchmarks/dp_pipelines_r4.json")
+    args = ap.parse_args()
+
+    _plat = os.environ.get("VQVDB_PLATFORM")
+    if _plat:
+        import jax
+
+        jax.config.update("jax_platforms", _plat)
+
+    import tempfile
+
+    from vqvdb_tpu import api
+    from vqvdb_tpu.runtime.native_io import backend, copy_into
+    from vqvdb_tpu.train.synthetic import smoke_grid
+
+    model = str(ROOT / "models" / "scalar.vqmodel")
+    doc: dict = {"leaves_per_file": args.leaves, "native": backend()}
+
+    # --- threaded-copy A/B at the DP batch size (4.2 MB) -----------------
+    src = np.random.default_rng(0).random((2048, 8, 8, 8, 1)
+                                          ).astype(np.float32)
+    dst = np.empty_like(src)
+    for name, fn in (("numpy", lambda: np.copyto(dst, src)),
+                     ("native_mt", lambda: copy_into(dst, src))):
+        fn()  # warm
+        reps = 200
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            fn()
+        ms = (time.perf_counter() - t0) / reps * 1e3
+        doc[f"copy_{name}_ms_per_4mb"] = round(ms, 3)
+    doc["copy_speedup"] = round(doc["copy_numpy_ms_per_4mb"]
+                                / doc["copy_native_mt_ms_per_4mb"], 2)
+
+    # --- multi-pipeline decode -------------------------------------------
+    with tempfile.TemporaryDirectory() as td:
+        tdp = Path(td)
+        codec = api.make_codec(model, batch_size=2048,
+                               compute_dtype="float32")
+        # Distinct files so pipelines share nothing but the page cache.
+        chunks, total, seed = [], 0, 0
+        while total < args.leaves:
+            g = smoke_grid(96, seed=seed)
+            chunks.append(np.asarray(g.leaves, np.float32))
+            total += g.num_leaves
+            seed += 1
+        leaves = np.concatenate(chunks)[: args.leaves]
+        from vqvdb_tpu.vdb.grid import LeafGrid
+
+        side = int(np.ceil(args.leaves ** (1 / 3)))
+        origins = (np.stack(np.unravel_index(
+            np.arange(args.leaves), (side,) * 3), 1) * 8).astype(np.int32)
+        for i in range(args.max_pipelines):
+            codec.compress(LeafGrid(f"g{i}", origins, leaves),
+                           tdp / f"f{i}.vqvdb")
+
+        env = dict(os.environ)
+        env["PYTHONPATH"] = str(ROOT) + os.pathsep + env.get("PYTHONPATH", "")
+        rows = []
+        for n in range(1, args.max_pipelines + 1):
+            t0 = time.perf_counter()
+            procs = []
+            for i in range(n):
+                procs.append(subprocess.Popen(
+                    [sys.executable, "-c", _WORKER,
+                     str(tdp / f"f{i}.vqvdb"), model,
+                     str(tdp / f"r{i}.txt")],
+                    env=env, stdout=subprocess.PIPE,
+                    stderr=subprocess.STDOUT))
+            for p in procs:
+                out, _ = p.communicate(timeout=900)
+                assert p.returncode == 0, out.decode()[-2000:]
+            wall = time.perf_counter() - t0
+            per = [open(tdp / f"r{i}.txt").read().split() for i in range(n)]
+            inner = [int(a) / float(b) for a, b in per]
+            rows.append({
+                "pipelines": n,
+                "aggregate_leaves_per_s_incl_startup": round(
+                    n * args.leaves / wall),
+                "per_pipeline_leaves_per_s": [round(r) for r in inner],
+                "aggregate_leaves_per_s": round(sum(inner)),
+            })
+            print(json.dumps(rows[-1]), flush=True)
+        doc["pipelines"] = rows
+
+    (ROOT / args.out).write_text(json.dumps(doc, indent=2))
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

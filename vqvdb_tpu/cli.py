@@ -154,13 +154,36 @@ def _load_vdb(path: Path):
 def _cmd_encode(args) -> int:
     from vqvdb_tpu import api
 
+    codec = api.make_codec(args.model, batch_size=args.batch_size,
+                           compute_dtype=args.compute_dtype,
+                           data_parallel=args.data_parallel)
+    if args.streaming:
+        if Path(args.input).suffix != ".vdb":
+            print("error: --streaming requires a .vdb input", file=sys.stderr)
+            return 2
+        from vqvdb_tpu.vdb.openvdb_io import open_vdb_leaf_streams
+
+        streams = open_vdb_leaf_streams(args.input, names=args.grid or None)
+        if not streams:
+            print("error: no grids matched", file=sys.stderr)
+            return 2
+        for s in streams:
+            if s.dropped_tiles:
+                print(f"warning: grid '{s.name}': {s.dropped_tiles} active "
+                      "constant tile(s) larger than a leaf were dropped",
+                      file=sys.stderr)
+        stats = codec.compress_stream(
+            streams, args.output, progress=args.verbose,
+            format_version=args.format_version, compression=args.v5_codec,
+            residual=args.residual, residual_tol=args.residual_tol)
+        print(json.dumps({"grids": len(streams),
+                          **{k: round(v, 2) if isinstance(v, float) else v
+                             for k, v in stats.items()}}))
+        return 0
     grids = _load_grids(Path(args.input), args.grid)
     if not grids:
         print("error: no grids matched", file=sys.stderr)
         return 2
-    codec = api.make_codec(args.model, batch_size=args.batch_size,
-                           compute_dtype=args.compute_dtype,
-                           data_parallel=args.data_parallel)
     stats = api.encode(grids, codec, args.output, progress=args.verbose,
                        format_version=args.format_version,
                        compression=args.v5_codec,
@@ -668,6 +691,11 @@ def main(argv=None) -> int:
     pe.add_argument("--compute-dtype", default="bfloat16")
     pe.add_argument("--data-parallel", action="store_true",
                     help="shard each device step over all local devices")
+    pe.add_argument("--streaming", action="store_true",
+                    help="stream leaves from a .vdb input at O(batch) host "
+                         "memory (mmap + lazy buffer reads) — for scenes "
+                         "larger than host RAM; output is byte-identical "
+                         "to the default path")
     pe.add_argument("--format-version", type=int, default=None,
                     choices=[3, 4, 5, 6],
                     help="container version: default auto (3, or 4 for "

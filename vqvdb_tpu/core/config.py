@@ -51,15 +51,18 @@ class ModelConfig:
     # "packed" is the TPU-co-designed encoder: the leaf is space-to-channel
     # packed to the 4^3 latent grid up front (a free reshape) and every
     # stage runs MXU-shaped with >=64-wide channels — the same shapes that
-    # carry the decoder trunk to 62% MFU. Decoder, quantizer, and container
-    # are unchanged; interop exporters require "reference".
+    # carry the decoder trunk to 62% MFU. "packed_lite" additionally makes
+    # the residual block's closer conv pointwise (k1), halving encode
+    # FLOPs; measured on v5e (benchmarks/encoder_v2_ab_r4.json). Decoder,
+    # quantizer, and container are unchanged for both; interop exporters
+    # require "reference".
     encoder_arch: str = "reference"
 
     def __post_init__(self):
-        if self.encoder_arch not in ("reference", "packed"):
+        if self.encoder_arch not in ("reference", "packed", "packed_lite"):
             raise ValueError(
-                f"unknown encoder_arch {self.encoder_arch!r} "
-                "(expected 'reference' or 'packed')")
+                f"unknown encoder_arch {self.encoder_arch!r} (expected "
+                "'reference', 'packed', or 'packed_lite')")
 
     @property
     def variant(self) -> str:

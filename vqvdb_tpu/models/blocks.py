@@ -183,21 +183,29 @@ def pixel_shuffle_3d(x: jnp.ndarray, r: int = 2) -> jnp.ndarray:
 def residual_block(params: Params, x: jnp.ndarray, *, groups: int = 8, scale: float = 0.1,
                    split_in: int = 0) -> jnp.ndarray:
     """Pre-activation GN residual block with scaled residual
-    (ref: python/VQVAE_v2.py:190-210)."""
+    (ref: python/VQVAE_v2.py:190-210). SAME padding is derived from each
+    conv's kernel size, so blocks with non-k3 convs (the packed_lite
+    encoder's pointwise closer) reuse this unchanged."""
     h = jax.nn.relu(group_norm(params["gn1"], x, groups))
-    h = conv3d(params["conv1"], h, stride=1, padding=1, split_in=split_in)
+    h = conv3d(params["conv1"], h, stride=1,
+               padding=(params["conv1"]["w"].shape[0] - 1) // 2,
+               split_in=split_in)
     h = jax.nn.relu(group_norm(params["gn2"], h, groups))
-    h = conv3d(params["conv2"], h, stride=1, padding=1, split_in=split_in)
+    h = conv3d(params["conv2"], h, stride=1,
+               padding=(params["conv2"]["w"].shape[0] - 1) // 2,
+               split_in=split_in)
     return x + jnp.asarray(scale, x.dtype) * h
 
 
-def init_residual_block(key, channels: int, dtype=jnp.float32) -> Params:
+def init_residual_block(key, channels: int, dtype=jnp.float32,
+                        kernel2: int = 3) -> Params:
     k1, k2 = jax.random.split(key)
     return {
         "gn1": init_group_norm(channels, dtype),
         "conv1": init_conv3d(k1, channels, channels, 3, dtype=dtype),
         "gn2": init_group_norm(channels, dtype),
-        "conv2": init_conv3d_near_zero(k2, channels, channels, 3, dtype=dtype),
+        "conv2": init_conv3d_near_zero(k2, channels, channels, kernel2,
+                                       dtype=dtype),
     }
 
 

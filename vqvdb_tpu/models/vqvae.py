@@ -132,15 +132,18 @@ def _init_encoder_packed(key, cfg: ModelConfig, dtype) -> Params:
 
     ~32 MFLOP/leaf scalar (vs the reference graph's 30 MFLOP at 28.6% MFU),
     all in conv/GEMM shapes the v5e decoder trunk already runs at 62% MFU.
-    Not a reference graph: torch/ONNX interop exporters reject it.
+    "packed_lite" makes the RB's closer conv pointwise (k1) — ~19 MFLOP —
+    for the measured speed point past 2x the reference-arch encode.
+    Not reference graphs: torch/ONNX interop exporters reject them.
     """
     w = packed_encoder_width(cfg)
     k = jax.random.split(key, 4)
+    kernel2 = 1 if cfg.encoder_arch == "packed_lite" else 3
     return {
         "stem_conv": blocks.init_conv3d(k[0], cfg.in_channels * 8, w, 3,
                                         dtype=dtype),
         "stem_gn": blocks.init_group_norm(w, dtype),
-        "rb": blocks.init_residual_block(k[1], w, dtype),
+        "rb": blocks.init_residual_block(k[1], w, dtype, kernel2=kernel2),
         "attn": blocks.init_channel_attention(k[2], w, dtype=dtype),
         "proj": blocks.init_conv3d(k[3], w, cfg.embedding_dim, 1, dtype=dtype),
     }
@@ -148,7 +151,7 @@ def _init_encoder_packed(key, cfg: ModelConfig, dtype) -> Params:
 
 def init_vqvae_params(key, cfg: ModelConfig, dtype=jnp.float32) -> VQVAEParams:
     ke, kd, kq = jax.random.split(key, 3)
-    if cfg.encoder_arch == "packed":
+    if cfg.encoder_arch.startswith("packed"):
         enc = _init_encoder_packed(ke, cfg, dtype)
         dec = (_init_decoder_scalar(kd, cfg, dtype) if cfg.variant == "scalar"
                else _init_decoder_vec3(kd, cfg, dtype))
@@ -187,7 +190,7 @@ def encoder_features(params: Params, x: jnp.ndarray, cfg: ModelConfig) -> jnp.nd
     """Encoder up to (excluding) the 1x1 projection: (B,8,8,8,C) ->
     (B,4,4,4,32|64|128). Split out so inference can fuse the projection into
     the quantizer's score matmul (see runtime/codec.py)."""
-    if cfg.encoder_arch == "packed":
+    if cfg.encoder_arch.startswith("packed"):
         return _encoder_features_packed(params, x, cfg)
     if cfg.variant == "scalar":
         h = blocks.conv3d(params["pre_conv"], x, padding=1)

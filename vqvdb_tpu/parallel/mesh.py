@@ -79,29 +79,40 @@ def make_sharded_eval_step(mesh: Mesh, mcfg, tcfg):
     return jax.jit(mapped)
 
 
-def make_sharded_encode(mesh: Mesh, codec):
+def _make_sharded_step(mesh: Mesh, step, replicate_out: bool):
+    """Common encode/decode wrapper. replicate_out=True all-gathers the
+    result over the mesh axis inside the step, so EVERY process holds the
+    full batch output — the multi-host file codec needs this: each host
+    addresses only its own shards of a distributed array, but the .vqvdb
+    writer needs every row (the gather rides ICI/DCN, inserted here, not
+    host-mediated)."""
+    def fn(params, x):
+        out = step(params, x)
+        if replicate_out:
+            out = jax.lax.all_gather(out, DATA_AXIS, axis=0, tiled=True)
+        return out
+
+    mapped = _shard_map(
+        fn, mesh,
+        in_specs=(P(), P(DATA_AXIS)),
+        out_specs=P() if replicate_out else P(DATA_AXIS),
+    )
+    return jax.jit(mapped)
+
+
+def make_sharded_encode(mesh: Mesh, codec, replicate_out: bool = False):
     """Shard the codec's encode step over the mesh's data axis.
 
     encode(params, leaves [B,8,8,8,C]) -> indices [B,4,4,4]; B must divide
     by the mesh size (the codec's fixed-shape batching guarantees this when
     batch_size % n_devices == 0).
     """
-    mapped = _shard_map(
-        codec._encode_step, mesh,
-        in_specs=(P(), P(DATA_AXIS)),
-        out_specs=P(DATA_AXIS),
-    )
-    return jax.jit(mapped)
+    return _make_sharded_step(mesh, codec._encode_step, replicate_out)
 
 
-def make_sharded_decode(mesh: Mesh, codec):
+def make_sharded_decode(mesh: Mesh, codec, replicate_out: bool = False):
     """Shard the codec's decode step over the mesh's data axis."""
-    mapped = _shard_map(
-        codec._decode_step, mesh,
-        in_specs=(P(), P(DATA_AXIS)),
-        out_specs=P(DATA_AXIS),
-    )
-    return jax.jit(mapped)
+    return _make_sharded_step(mesh, codec._decode_step, replicate_out)
 
 
 def replicate(tree, mesh: Mesh):

@@ -130,8 +130,16 @@ class VQCodec:
             self._folded_down = fold_strided_conv(
                 np.asarray(down["w"]), np.asarray(down["b"]))
         # Data-parallel device steps over a mesh (set up last: the sharded
-        # steps close over the fold constants computed above).
+        # steps close over the fold constants computed above). A mesh that
+        # spans multiple PROCESSES (a pod slice / the gloo CPU runtime,
+        # parallel/distributed.py) flips the codec to multi-host mode:
+        # every process reads the same file, feeds its local slice of each
+        # global batch, and the step all-gathers its output over the mesh
+        # axis so every host holds full batch results — the byte-identity
+        # invariant (N-chip == 1-chip .vqvdb output) extends across
+        # processes (tests/test_distributed.py).
         self.mesh = mesh
+        self._multihost = False
         if mesh is not None:
             from vqvdb_tpu.parallel.mesh import (
                 make_sharded_decode, make_sharded_encode, replicate)
@@ -141,9 +149,12 @@ class VQCodec:
                 raise ValueError(
                     f"batch_size {self.ccfg.batch_size} must divide evenly "
                     f"over the {n_dev}-device mesh")
+            self._multihost = jax.process_count() > 1
             self.params = replicate(self.params, mesh)
-            self._encode_jit = make_sharded_encode(mesh, self)
-            self._decode_jit = make_sharded_decode(mesh, self)
+            self._encode_jit = make_sharded_encode(
+                mesh, self, replicate_out=self._multihost)
+            self._decode_jit = make_sharded_decode(
+                mesh, self, replicate_out=self._multihost)
 
     # -- device steps (traced once per shape) ----------------------------
     def _encode_step(self, params: VQVAEParams, leaves: jnp.ndarray) -> jnp.ndarray:
@@ -224,13 +235,9 @@ class VQCodec:
         # must be divisible by the mesh size (a 1-leaf probe would fail
         # shard_map's divisibility check on any multi-device mesh).
         n = self.mesh.devices.size if self.mesh is not None else 1
-        probe = jnp.zeros((n, LEAF_DIM, LEAF_DIM, LEAF_DIM, self.mcfg.in_channels),
-                          jnp.float32)
-        if self.mesh is not None:
-            from vqvdb_tpu.parallel.mesh import shard_batch
-
-            probe = shard_batch(probe, self.mesh)
-        out = self._encode_jit(self.params, probe)
+        probe = np.zeros((n, LEAF_DIM, LEAF_DIM, LEAF_DIM, self.mcfg.in_channels),
+                         np.float32)
+        out = self._encode_jit(self.params, self._to_device(probe))
         got = tuple(out.shape[1:])
         if got != self.mcfg.index_shape:
             raise ModelMismatchError(
@@ -264,7 +271,18 @@ class VQCodec:
         return out
 
     def _to_device(self, chunk: np.ndarray):
-        """Host batch -> device array (sharded over the mesh if present)."""
+        """Host batch -> device array (sharded over the mesh if present).
+
+        Multi-host: every process sees the same full `chunk` (same file,
+        same reader); each contributes only its local rows and JAX stitches
+        them into one global sharded array — no host ever transfers another
+        host's slice."""
+        if self._multihost:
+            from vqvdb_tpu.parallel.distributed import (
+                global_batch_from_local, local_batch_slice)
+
+            rows = chunk[local_batch_slice(chunk.shape[0])]
+            return global_batch_from_local(self.mesh, rows)
         if self.mesh is not None:
             from vqvdb_tpu.parallel.mesh import shard_batch
 
@@ -463,6 +481,138 @@ class VQCodec:
                     total += n
                     if progress:
                         print(f"[compress] {grid.name}: {s + n}/{grid.num_leaves}")
+                w.end_grid()
+        dt = time.perf_counter() - t0
+        return {
+            "leaves": total,
+            "seconds": dt,
+            "leaves_per_sec": total / dt if dt > 0 else float("inf"),
+            "bytes": Path(out_path).stat().st_size,
+        }
+
+    def compress_stream(
+        self,
+        streams,
+        out_path: Union[str, Path],
+        *,
+        progress: bool = False,
+        format_version: Optional[int] = None,
+        compression: str = "zlib",
+        residual: Optional[str] = None,
+        residual_tol: Optional[float] = None,
+    ) -> dict:
+        """`compress`, but from lazily-read leaf streams at O(batch) host
+        memory — the ingestion side of the bounded-memory story (`.vdb`
+        scenes larger than host RAM encode through
+        vdb.openvdb_io.open_vdb_leaf_streams; the reference gets the same
+        property from OpenVDB's lazy grid access,
+        ref: src/Utils/Utils.hpp:361-403).
+
+        `streams` is one object or a sequence of objects exposing
+        .name, .transform, .num_leaves, .channels, .origins [N,3] and
+        .leaf_batches(batch_size) -> iterator of [n<=bs,8,8,8,C] f32.
+        Same container/options semantics as `compress`; a streamed encode
+        of the same leaves produces byte-identical output
+        (tests/test_streaming_vdb.py)."""
+        if not isinstance(streams, (list, tuple)):
+            streams = [streams]
+        if residual is not None:
+            from vqvdb_tpu.runtime.residual import RESIDUAL_MODES
+
+            if residual not in RESIDUAL_MODES:
+                raise ValueError(f"unknown residual mode {residual!r}")
+            if residual_tol is not None and residual != "int8":
+                raise ValueError("residual_tol applies to the int8 mode only")
+            if format_version is None:
+                format_version = 6
+            elif format_version != 6:
+                raise ValueError(
+                    "residual correction requires format version 6")
+        if format_version is None:
+            format_version = 3 if self.mcfg.num_embeddings <= 256 else 4
+        bs = self.ccfg.batch_size
+        t0 = time.perf_counter()
+        total = 0
+
+        def _rechunk(it):
+            """Arbitrary-size [n,...] arrays -> exact-bs chunks (+ ragged
+            tail), holding at most one extra batch."""
+            buf, have = [], 0
+            for a in it:
+                if not a.shape[0]:
+                    continue
+                buf.append(np.asarray(a, np.float32))
+                have += a.shape[0]
+                while have >= bs:
+                    cat = np.concatenate(buf) if len(buf) > 1 else buf[0]
+                    yield cat[:bs]
+                    rest = cat[bs:]
+                    buf, have = ([rest] if rest.shape[0] else []), rest.shape[0]
+            if have:
+                yield np.concatenate(buf) if len(buf) > 1 else buf[0]
+
+        with VqvdbWriter(out_path, version=format_version,
+                         compression=compression) as w:
+            for stream in streams:
+                meta = GridMetadata(
+                    name=stream.name,
+                    num_embeddings=self.mcfg.num_embeddings,
+                    latent_shape=self.mcfg.index_shape,
+                    total_blocks=stream.num_leaves,
+                    transform=np.asarray(stream.transform, np.float32),
+                    residual_mode=(0 if residual is None else
+                                   {"int8": 1, "f16": 2}[residual]),
+                    residual_channels=(0 if residual is None
+                                       else stream.channels),
+                )
+                w.start_grid(meta)
+                pending: collections.deque = collections.deque()
+                cursor = 0
+
+                def _flush(item):
+                    nonlocal total
+                    if residual is not None:
+                        from vqvdb_tpu.runtime.residual import quantize_residual
+
+                        dev_i, dev_r, chunk, org, n = item
+                        idx = self._host_rows(dev_i, n)
+                        rec = self._host_rows(dev_r, n)
+                        scales, q = quantize_residual(chunk[:n] - rec,
+                                                      residual, residual_tol)
+                        w.write_batch(idx, org, scales, q)
+                    else:
+                        dev, org, n = item
+                        w.write_batch(self._host_rows(dev, n), org)
+                    total += item[-1]
+                    if progress:
+                        print(f"[compress] {stream.name}: {total} leaves")
+
+                for chunk in _rechunk(stream.leaf_batches(bs)):
+                    n = chunk.shape[0]
+                    org = stream.origins[cursor : cursor + n]
+                    cursor += n
+                    padded = chunk
+                    if n < bs:
+                        with self.profiler("host/pad"):
+                            pad = np.zeros((bs - n,) + chunk.shape[1:],
+                                           chunk.dtype)
+                            padded = np.concatenate([chunk, pad], axis=0)
+                    with self.profiler("device/dispatch"):
+                        dev_i = self._encode_jit(self.params,
+                                                 self._to_device(padded))
+                        if residual is not None:
+                            dev_r = self._decode_jit(self.params, dev_i)
+                            pending.append((dev_i, dev_r, chunk, org, n))
+                        else:
+                            pending.append((dev_i, org, n))
+                    if len(pending) >= PIPELINE_DEPTH:
+                        _flush(pending.popleft())
+                while pending:
+                    _flush(pending.popleft())
+                if cursor != stream.num_leaves:
+                    raise ValueError(
+                        f"stream '{stream.name}' yielded {cursor} leaves, "
+                        f"declared {stream.num_leaves}")
                 w.end_grid()
         dt = time.perf_counter() - t0
         return {

@@ -1201,6 +1201,244 @@ def read_vdb_leafgrids(path: PathLike) -> list:
     return [vdbgrid_to_leafgrid(g) for g in read_vdb(path)]
 
 
+# ---------------------------------------------------------------------------
+# Streaming (bounded-memory) leaf reader
+# ---------------------------------------------------------------------------
+
+class VdbLeafStream:
+    """One grid's leaves, read lazily from an mmapped .vdb.
+
+    `read_vdb` materializes every grid (leaf buffers are 2 KiB/leaf f32) —
+    a scene larger than host RAM cannot ingest that way even though the
+    `.vqvdb` side streams at O(batch) memory. This class holds only the
+    grid's *topology* (origins + masks + tiles, ~76 B/leaf, parsed up
+    front) and reads leaf value buffers on demand from the OS page cache —
+    the counterpart of the reference's lazy OpenVDB grid access
+    (ref: src/Utils/Utils.hpp:361-403). Active 8-span tiles are appended
+    as constant leaves at the end of the stream (same policy as
+    vdbgrid_to_leafgrid); larger active tiles are counted in
+    `dropped_tiles`.
+
+    Leaf order and values match `read_vdb` exactly, so a streamed encode
+    produces a byte-identical `.vqvdb` (tests/test_streaming_vdb.py).
+    """
+
+    def __init__(self, *, name: str, comps: int, half: bool,
+                 compression: int, transform: np.ndarray,
+                 background: np.ndarray, origins: np.ndarray,
+                 masks: np.ndarray, tiles: List[VdbTile], buffer_pos: int,
+                 mm, grid_class: str = "unknown",
+                 metadata: Optional[Dict[str, tuple]] = None) -> None:
+        self.name = name
+        self.transform = np.asarray(transform, np.float32).reshape(4, 4)
+        self.grid_class = grid_class
+        self.metadata = metadata or {}
+        self.background = float(np.asarray(background).reshape(-1)[0])
+        self.leaf_masks = masks
+        self._comps = comps
+        self._half = half
+        self._compression = compression
+        self._bg_arr = np.asarray(background, np.float32).reshape(comps)
+        self._buffer_pos = buffer_pos
+        self._mm = mm
+        self._n_buffers = int(origins.shape[0])
+        tile_origins, tile_values, dropped = [], [], 0
+        for t in tiles:
+            if not t.active:
+                continue
+            if t.span == LEAF_SPAN:
+                tile_origins.append(np.asarray(t.origin, np.int32))
+                tile_values.append(
+                    np.asarray(t.value, np.float32).reshape(comps))
+            else:
+                dropped += 1
+        self.dropped_tiles = dropped
+        self._tile_values = (np.stack(tile_values) if tile_values
+                             else np.zeros((0, comps), np.float32))
+        self.origins = (np.concatenate([origins, np.stack(tile_origins)])
+                        if tile_origins else origins)
+
+    @property
+    def num_leaves(self) -> int:
+        return int(self.origins.shape[0])
+
+    @property
+    def channels(self) -> int:
+        return self._comps
+
+    def leaf_batches(self, batch_size: int):
+        """Yield [n<=batch_size, 8, 8, 8, C] f32 arrays covering every leaf
+        (buffer leaves first, then 8-span tile leaves), in `origins` order.
+        Only O(batch_size) leaf values are resident at once."""
+        comps = self._comps
+        cur = _Cursor(self._mm)
+        cur.pos = self._buffer_pos
+        for s in range(0, self._n_buffers, batch_size):
+            m = min(batch_size, self._n_buffers - s)
+            out = np.empty((m, LEAF_DIM, LEAF_DIM, LEAF_DIM, comps),
+                           np.float32)
+            flat = out.reshape(m, LEAF_SIZE, comps)
+            for i in range(m):
+                bits = _mask_bits(
+                    np.frombuffer(cur.take(LEAF_SIZE // 8), np.uint8))
+                vals = _read_compressed_values(
+                    cur, LEAF_SIZE, bits, comps, self._half,
+                    self._compression, self._bg_arr)
+                flat[i] = vals.reshape(LEAF_SIZE, comps)
+            yield out
+        for s in range(0, self._tile_values.shape[0], batch_size):
+            vals = self._tile_values[s : s + batch_size]
+            yield np.broadcast_to(
+                vals[:, None, None, None, :],
+                (vals.shape[0], LEAF_DIM, LEAF_DIM, LEAF_DIM, comps)
+            ).astype(np.float32)
+
+
+def open_vdb_leaf_streams(path: PathLike, names=None) -> List[VdbLeafStream]:
+    """Open a .vdb for streaming leaf ingestion (see VdbLeafStream).
+
+    Parses headers, transforms, and tree *topology* for every float/vec3
+    grid (instanced grids share their parent's buffers); leaf value buffers
+    stay on disk. The file is mmapped, so host memory stays O(topology +
+    read batch) regardless of scene size. `names` filters grids by name.
+    """
+    import mmap
+
+    f = open(path, "rb")
+    try:
+        mm = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
+    finally:
+        f.close()  # the mmap keeps its own reference
+    cur = _Cursor(mm)
+
+    magic = cur.i64()
+    if magic != OPENVDB_MAGIC:
+        raise FormatError(
+            f"not an OpenVDB file: magic {magic:#x} != {OPENVDB_MAGIC:#x}")
+    version = cur.u32()
+    if version < MIN_SUPPORTED_VERSION:
+        raise VersionError(
+            f"OpenVDB file version {version} predates "
+            f"{MIN_SUPPORTED_VERSION}; re-save the asset")
+    cur.u32()
+    cur.u32()
+    has_offsets = bool(cur.u8())
+    cur.take(36)
+    _read_metamap(cur)
+    grid_count = cur.u32()
+    if grid_count > 1 << 16:
+        raise FormatError(f"implausible grid count {grid_count}")
+
+    streams: List[VdbLeafStream] = []
+    by_unique: Dict[str, VdbLeafStream] = {}
+    want = {names} if isinstance(names, str) else (
+        set(names) if names is not None else None)
+    for _ in range(grid_count):
+        unique_name = cur.string()
+        grid_type = cur.string()
+        descriptor_half = grid_type.endswith(HALF_SUFFIX)
+        if descriptor_half:
+            grid_type = grid_type[: -len(HALF_SUFFIX)]
+        instance_parent = cur.string()
+        end_pos = None
+        if has_offsets:
+            cur.i64()
+            cur.i64()
+            end_pos = cur.i64()
+        name = unique_name.split(_NAME_SEP)[0]
+
+        if instance_parent:
+            parent = by_unique.get(instance_parent)
+            if parent is None:
+                raise FormatError(
+                    f"grid '{name}' instances unknown parent "
+                    f"'{instance_parent}'")
+            if version >= 222:
+                cur.u32()
+            meta = _read_metamap(cur)
+            transform = _read_transform(cur)
+            s = VdbLeafStream(
+                name=name, comps=parent._comps, half=parent._half,
+                compression=parent._compression, transform=transform,
+                background=parent._bg_arr, origins=parent.origins,
+                masks=parent.leaf_masks, tiles=[],
+                buffer_pos=parent._buffer_pos, mm=mm, metadata=meta)
+            # Instances share the parent's buffers/tiles verbatim.
+            s._n_buffers = parent._n_buffers
+            s._tile_values = parent._tile_values
+            s.dropped_tiles = parent.dropped_tiles
+            by_unique[unique_name] = s
+            if want is None or name in want:
+                streams.append(s)
+            continue
+
+        if grid_type not in _GRID_TYPES:
+            if end_pos is None:
+                raise FormatError(
+                    f"cannot skip unsupported grid type '{grid_type}' in a "
+                    "stream without grid offsets")
+            cur.pos = end_pos
+            continue
+        value_type, comps = _GRID_TYPES[grid_type]
+
+        compression = cur.u32()
+        meta = _read_metamap(cur)
+        half = descriptor_half or bool(
+            meta.get("is_saved_as_half_float", (None, False))[1])
+        transform = _read_transform(cur)
+
+        # Tree topology only (the first half of _read_tree).
+        buffer_count = cur.i32()
+        if buffer_count != 1:
+            raise FormatError(
+                f"multi-buffer trees unsupported ({buffer_count})")
+        background = cur.values(1, comps, half).reshape(comps)
+        num_tiles = cur.u32()
+        num_children = cur.u32()
+        tiles: List[VdbTile] = []
+        for _ in range(num_tiles):
+            origin = cur.coord()
+            value = cur.values(1, comps, half).reshape(comps)
+            active = bool(cur.u8())
+            tiles.append(VdbTile(origin, I5_SPAN, _squeeze(value, comps),
+                                 active))
+        origins_l: List[np.ndarray] = []
+        masks_l: List[np.ndarray] = []
+        for _ in range(num_children):
+            i5_origin = cur.coord()
+            _read_internal_topology(
+                cur, i5_origin, I5_LOG2, I4_LOG2, comps, half, compression,
+                background, tiles, origins_l, masks_l)
+        n = len(origins_l)
+        origins = (np.stack(origins_l).astype(np.int32) if n
+                   else np.zeros((0, 3), np.int32))
+        masks = (np.stack(masks_l) if n
+                 else np.zeros((0, LEAF_SIZE // 8), np.uint8))
+        buffer_pos = cur.pos
+
+        cls = meta.get("class", (None, "unknown"))[1]
+        s = VdbLeafStream(
+            name=name, comps=comps, half=half, compression=compression,
+            transform=transform, background=background, origins=origins,
+            masks=masks, tiles=tiles, buffer_pos=buffer_pos, mm=mm,
+            grid_class=cls if isinstance(cls, str) else "unknown",
+            metadata=meta)
+        by_unique[unique_name] = s
+        if want is None or name in want:
+            streams.append(s)
+
+        # Skip the buffer section to reach the next grid.
+        if end_pos is not None:
+            cur.pos = end_pos
+        else:
+            for _ in range(n):
+                bits = _mask_bits(
+                    np.frombuffer(cur.take(LEAF_SIZE // 8), np.uint8))
+                _read_compressed_values(cur, LEAF_SIZE, bits, comps, half,
+                                        compression, background)
+    return streams
+
+
 def write_vdb_leafgrids(path: PathLike, leaf_grids: Sequence,
                         *, compression: int = DEFAULT_COMPRESSION,
                         half: Optional[bool] = None) -> None:
