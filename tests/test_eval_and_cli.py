@@ -271,3 +271,32 @@ def test_cli_residual_tier_roundtrip(tmp_path, capsys):
     got = np.load(out_dir / "vol.npy")
     # untrained model, yet the corrected output is near-original
     assert psnr(got.reshape(g.leaves.shape), g.leaves) > 45.0
+
+
+def test_cli_eval_report_latent_diagnostics(tmp_path, capsys):
+    """--report-dir emits the reference notebooks' deeper latent plots
+    (codebook PCA, latent ICA, error heatmap, zero-split) alongside the
+    round-2 histograms/montage."""
+    data_dir = tmp_path / "data"
+    assert cli_main(["datagen", str(data_dir), "--volumes", "1",
+                     "--size", "32"]) == 0
+    capsys.readouterr()
+    model_path = tmp_path / "m.vqmodel"
+    assert cli_main([
+        "train", "--data-dir", str(data_dir), "--model-path",
+        str(model_path), "--epochs", "1", "--batch-size", "16",
+        "--embedding-dim", "32", "--num-embeddings", "64",
+        "--compute-dtype", "float32",
+    ]) == 0
+    capsys.readouterr()
+    rep = tmp_path / "report"
+    assert cli_main(["eval", "--data-dir", str(data_dir), "--model",
+                     str(model_path), "--max-leaves", "48",
+                     "--batch-size", "16", "--compute-dtype", "float32",
+                     "--report-dir", str(rep)]) == 0
+    for png in ("psnr_mse_hist.png", "codebook_usage.png", "montage.png",
+                "codebook_pca.png", "latent_ica.png", "error_heatmap.png",
+                "zero_split.png"):
+        assert (rep / png).exists(), png
+    md = (rep / "report.md").read_text()
+    assert "codebook_pca.png" in md and "zero_split.png" in md

@@ -213,3 +213,39 @@ def test_writer_close_releases_handle_on_mismatch(tmp_path):
         w.close()
     assert w._f is None  # handle released despite the raise
     w.close()  # second close is a clean no-op
+
+
+def test_v3_bytes_second_independent_derivation(tmp_path):
+    """A second, from-the-spec-text derivation of v3 bytes (VERDICT r3
+    item 9): this writer is built from docs/FORMATS.md alone — plain
+    struct.pack, no shared code with VqvdbWriter (which is numpy-vectorized
+    with deferred finalize) — and must produce the identical file. Guards
+    the hand-derived golden fixtures with an independent construction."""
+    import struct
+
+    name = "density"
+    k, latent = 256, (4, 4, 4)
+    n = 5
+    rng = np.random.default_rng(3)
+    origins = (rng.integers(-64, 64, (n, 3)) * 8).astype(np.int32)
+    indices = rng.integers(0, k, (n, 4, 4, 4)).astype(np.uint8)
+    transform = np.diag([0.5, 0.5, 0.5, 1.0]).astype(np.float32)
+
+    spec = b"VQVDB" + struct.pack("<BBIB", 3, 1, k, len(latent))
+    nm = name.encode()
+    spec += struct.pack("<I", len(nm)) + nm
+    spec += struct.pack("<16f", *transform.reshape(-1))
+    spec += struct.pack(f"<{len(latent)}H", *latent)
+    spec += struct.pack("<I", n)
+    for i in range(n):
+        spec += struct.pack("<3i", *origins[i])
+        spec += indices[i].tobytes()
+
+    path = tmp_path / "spec.vqvdb"
+    with VqvdbWriter(path, version=3) as w:
+        w.start_grid(GridMetadata(name=name, num_embeddings=k,
+                                  latent_shape=latent, total_blocks=n,
+                                  transform=transform))
+        w.write_batch(indices, origins)
+        w.end_grid()
+    assert path.read_bytes() == spec

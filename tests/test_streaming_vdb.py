@@ -130,7 +130,7 @@ def test_streaming_encode_bounded_rss(tmp_path, rng):
     scene with ~8x the leaf payload may add only a small constant over the
     small-scene baseline (topology + batches), nowhere near the ~340 MB
     the big scene's leaves would cost if materialized."""
-    small, big = 8_000, 160_000  # leaves: ~16 MB vs ~330 MB of payload
+    small, big = 6_000, 60_000  # leaves: ~12 MB vs ~123 MB of payload
 
     def run(n, tag):
         path = tmp_path / f"{tag}.vdb"
@@ -155,7 +155,7 @@ def test_streaming_encode_bounded_rss(tmp_path, rng):
 
     rss_small = run(small, "small")
     rss_big = run(big, "big")
-    # 20x the payload; allow 120 MB of slack (topology arrays, allocator
-    # noise) — full materialization would add ~330 MB for leaves alone,
+    # 10x the payload; allow 60 MB of slack (topology arrays, allocator
+    # noise) — full materialization would add ~110 MB for leaves alone,
     # plus the file read.
-    assert rss_big - rss_small < 120_000, (rss_small, rss_big)
+    assert rss_big - rss_small < 60_000, (rss_small, rss_big)

@@ -424,10 +424,19 @@ def _cmd_eval(args) -> int:
                          codec.mcfg.num_embeddings)
     if args.report_dir:
         from vqvdb_tpu.eval.report import write_report
+        from vqvdb_tpu.models.vqvae import encoder_apply
 
-        k = min(6, leaves.shape[0])
+        # 512 leaves feed the error heatmap / zero-split / ICA diagnostics
+        # (ref notebook cells 5-9); the montage takes the first 6.
+        k = min(512, leaves.shape[0])
         sample = leaves[:k] if leaves.ndim == 5 else leaves[:k, ..., None]
         recon = codec.decode_indices(report["indices"][:k])
+        z = encoder_apply(codec.params.encoder,
+                          sample.astype(np.float32), codec.mcfg)
+        report["latent_sample"] = np.asarray(z).reshape(
+            -1, codec.mcfg.embedding_dim)
+        cb["embedding"] = np.asarray(codec.params.vq.embedding).reshape(
+            -1, codec.mcfg.embedding_dim)
         md = write_report(args.report_dir, report, cb,
                           sample_leaves=sample, sample_recon=recon,
                           title=f"eval: {args.model}")

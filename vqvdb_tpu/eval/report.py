@@ -77,6 +77,15 @@ def write_report(
         fig.savefig(out / "montage.png", dpi=110)
         plt.close(fig)
 
+    extra_pngs = write_latent_diagnostics(
+        out,
+        codebook_vectors=codebook.get("embedding"),
+        counts=counts,
+        latents=report.get("latent_sample"),
+        originals=sample_leaves,
+        recons=sample_recon,
+    )
+
     md = out / "report.md"
     lines = [
         f"# {title}",
@@ -94,5 +103,135 @@ def write_report(
     ]
     if (out / "montage.png").exists():
         lines.append("![](montage.png)")
+    lines.extend(f"![]({p})" for p in extra_pngs)
     md.write_text("\n".join(lines) + "\n")
     return md
+
+
+def _pca2(x: np.ndarray) -> np.ndarray:
+    """First two principal components of rows of x (SVD, centered)."""
+    c = x - x.mean(axis=0, keepdims=True)
+    _, _, vt = np.linalg.svd(c, full_matrices=False)
+    return c @ vt[:2].T
+
+
+def _fast_ica2(x: np.ndarray, iters: int = 200, seed: int = 0) -> np.ndarray:
+    """Two independent components of rows of x — symmetric FastICA with a
+    tanh contrast (the reference notebook used sklearn's FastICA,
+    notebook_scalar.ipynb cell 7; this is the same fixed-point iteration,
+    self-contained in numpy)."""
+    c = x - x.mean(axis=0, keepdims=True)
+    # Whiten via PCA.
+    u, s, vt = np.linalg.svd(c, full_matrices=False)
+    k = min(8, s.size)  # whiten in a small subspace: enough for 2 ICs
+    z = (u[:, :k] * np.sqrt(x.shape[0]))  # whitened rows (N, k)
+    rng = np.random.default_rng(seed)
+    w = rng.normal(size=(2, k))
+
+    def decorrelate(w):
+        # W <- (W W^T)^{-1/2} W  (symmetric decorrelation)
+        ew, ev = np.linalg.eigh(w @ w.T)
+        return (ev * (1.0 / np.sqrt(np.maximum(ew, 1e-12)))) @ ev.T @ w
+
+    w = decorrelate(w)
+    for _ in range(iters):
+        wx = z @ w.T                      # (N, 2)
+        g = np.tanh(wx)
+        g_prime = 1.0 - g * g
+        w_new = (g.T @ z) / z.shape[0] - \
+            (g_prime.mean(axis=0)[:, None] * w)
+        w_new = decorrelate(w_new)
+        if np.max(np.abs(np.abs(np.sum(w_new * w, axis=1)) - 1)) < 1e-6:
+            w = w_new
+            break
+        w = w_new
+    return z @ w.T
+
+
+def write_latent_diagnostics(
+    out: Path,
+    *,
+    codebook_vectors: Optional[np.ndarray] = None,
+    counts: Optional[np.ndarray] = None,
+    latents: Optional[np.ndarray] = None,
+    originals: Optional[np.ndarray] = None,
+    recons: Optional[np.ndarray] = None,
+) -> list:
+    """The reference analysis notebooks' deeper latent plots
+    (notebook_scalar.ipynb cells 5-9): codebook PCA colored by usage,
+    latent-space ICA, a log-binned |value| vs |error| heatmap, and the
+    zero-vs-nonzero voxel error split. Each plot is emitted only when its
+    inputs were provided; returns the PNG names written."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    written = []
+
+    if codebook_vectors is not None:
+        xy = _pca2(np.asarray(codebook_vectors, np.float64))
+        fig, ax = plt.subplots(figsize=(5.5, 4.5))
+        c = None if counts is None else np.log10(np.asarray(counts) + 1)
+        sc = ax.scatter(xy[:, 0], xy[:, 1], c=c, s=14, cmap="viridis")
+        if c is not None:
+            fig.colorbar(sc, ax=ax, label="log10(1 + assignments)")
+        ax.set(title="Codebook PCA (usage-colored)", xlabel="PC1",
+               ylabel="PC2")
+        fig.tight_layout()
+        fig.savefig(out / "codebook_pca.png", dpi=110)
+        plt.close(fig)
+        written.append("codebook_pca.png")
+
+    if latents is not None and latents.shape[0] >= 16:
+        flat = np.asarray(latents, np.float64).reshape(-1,
+                                                       latents.shape[-1])
+        if flat.shape[0] > 20000:
+            flat = flat[:: flat.shape[0] // 20000 + 1]
+        ics = _fast_ica2(flat)
+        fig, ax = plt.subplots(figsize=(5.5, 4.5))
+        ax.scatter(ics[:, 0], ics[:, 1], s=3, alpha=0.25, color="#4878d0")
+        ax.set(title=f"Latent ICA ({flat.shape[0]} latent vectors)",
+               xlabel="IC1", ylabel="IC2")
+        fig.tight_layout()
+        fig.savefig(out / "latent_ica.png", dpi=110)
+        plt.close(fig)
+        written.append("latent_ica.png")
+
+    if originals is not None and recons is not None:
+        o = np.asarray(originals, np.float32).reshape(-1)
+        e = np.abs(np.asarray(recons, np.float32).reshape(-1) - o)
+        # Log-binned error heatmap (cell 8): |value| vs |error| density.
+        lo_v = np.log10(np.abs(o) + 1e-8)
+        lo_e = np.log10(e + 1e-10)
+        fig, ax = plt.subplots(figsize=(5.5, 4.5))
+        h = ax.hist2d(lo_v, lo_e, bins=80, cmap="magma",
+                      norm=matplotlib.colors.LogNorm())
+        fig.colorbar(h[3], ax=ax, label="voxels")
+        ax.set(title="Error vs value (log-binned)",
+               xlabel="log10 |value|", ylabel="log10 |error|")
+        fig.tight_layout()
+        fig.savefig(out / "error_heatmap.png", dpi=110)
+        plt.close(fig)
+        written.append("error_heatmap.png")
+
+        # Zero-vs-nonzero split (cell 9) as distributions, not just means.
+        zero = e[o == 0.0]
+        nonz = e[o != 0.0]
+        fig, ax = plt.subplots(figsize=(6.5, 3.5))
+        bins = np.linspace(-10, max(float(lo_e.max()), -9.0), 70)
+        for arr, label, color in ((zero, "zero voxels", "#4878d0"),
+                                  (nonz, "non-zero voxels", "#ee854a")):
+            if arr.size:
+                ax.hist(np.log10(arr + 1e-10), bins=bins, alpha=0.6,
+                        label=f"{label} (mse {np.mean(arr**2):.2e})",
+                        color=color)
+        ax.legend()
+        ax.set(title="Per-voxel |error|, zero vs non-zero originals",
+               xlabel="log10 |error|", ylabel="voxels")
+        fig.tight_layout()
+        fig.savefig(out / "zero_split.png", dpi=110)
+        plt.close(fig)
+        written.append("zero_split.png")
+
+    return written
