@@ -44,10 +44,17 @@ import numpy as np
 # (multiply-add = 2 FLOPs; elementwise/norm/lookup excluded):
 #   decode: stem conv D128->64 on 4^3 (28.3M) + RB64 2x k3 conv (28.3M)
 #           + tail GEMM 4096x512 (4.2M) + attn (~0.1M)            ~= 61 MFLOP
-#   encode: pre 1->16 (0.44M) + RB16 (14.2M) + packed down conv k4
-#           16->32 (4.2M) + RB32 (7.1M) + proj+score GEMMs (4.5M) ~= 30 MFLOP
+#   encode (reference arch): pre 1->16 (0.44M) + RB16 (14.2M) + packed down
+#           conv k4 16->32 (4.2M) + RB32 (7.1M) + proj+score (4.5M) ~= 30
+#   encode (packed arch): stem k3 8->64 (1.77M) + RB64 (28.3M)
+#           + fused proj.score 64x256 (2.1M)                      ~= 32.2
+#   encode (packed_lite): RB closer pointwise                     ~= 18.9
 DECODE_MFLOP_PER_LEAF = 61.0
-ENCODE_MFLOP_PER_LEAF = 30.0
+ENCODE_MFLOP_PER_LEAF = {
+    "reference": 30.0,
+    "packed": 32.2,
+    "packed_lite": 18.9,
+}
 V5E_BF16_PEAK_TFLOPS = 197.0
 BASELINE_COMPILES = 3
 
@@ -112,6 +119,23 @@ def main(data_parallel: bool = False) -> None:
     params = init_vqvae_params(jax.random.key(0), mcfg)
     rng = np.random.default_rng(0)
 
+    # The encode row benches what ships: the committed flagship artifact's
+    # encoder arch (round 4 moved it to the packed TPU-co-designed graph;
+    # throughput is weight-independent, so untrained params with the same
+    # config measure the same program).
+    from pathlib import Path
+
+    from vqvdb_tpu.core.artifact import load_model
+
+    flag_path = Path(__file__).parent / "models" / "scalar.vqmodel"
+    enc_arch = "reference"
+    if flag_path.exists():
+        _, flag_cfg = load_model(flag_path)
+        enc_arch = flag_cfg.encoder_arch
+    mcfg_enc = ModelConfig(encoder_arch=enc_arch)
+    params_enc = (params if enc_arch == "reference"
+                  else init_vqvae_params(jax.random.key(0), mcfg_enc))
+
     import jax.numpy as jnp
 
     K = mcfg.num_embeddings
@@ -136,16 +160,56 @@ def main(data_parallel: bool = False) -> None:
     value = _fenced_rate(codec._decode_step, params, idx, steps,
                          perturb_idx, consume_f)
 
-    # Optimized encode: proj folded into the quantizer score GEMM + packed
-    # strided down-conv, b2048 (round-2 sweep: 1.89M at b2048 vs 1.70M at
-    # the round-1 b8192 choice).
+    # Optimized encode at the flagship arch (packed: proj fused into the
+    # quantizer score GEMM; reference: + packed strided down-conv), b2048
+    # (sweeps: sweep_batch_r2.json, packed_batch_sweep_r4.json — flat).
     enc_batch = 2048 if on_tpu else 256
-    enc_codec = VQCodec(params, mcfg, CodecConfig(batch_size=enc_batch,
-                                                  compute_dtype="bfloat16"))
+    enc_codec = VQCodec(params_enc, mcfg_enc,
+                        CodecConfig(batch_size=enc_batch,
+                                    compute_dtype="bfloat16"))
     leaves = jnp.asarray(rng.random((enc_batch, 8, 8, 8, 1), np.float32))
-    encode_value = _fenced_rate(enc_codec._encode_step, params, leaves,
+    encode_value = _fenced_rate(enc_codec._encode_step, params_enc, leaves,
                                 steps // 2 if on_tpu else 4,
                                 perturb_leaves, consume_f)
+
+    # Regression-tracked secondary rows (VERDICT r3 item 7): vec3 and the
+    # RVQ (S=2) tier, encode+decode, at their operating points.
+    vec3_path = Path(__file__).parent / "models" / "vec3.vqmodel"
+    v3_arch = "reference"
+    if vec3_path.exists():
+        _, v3_cfg = load_model(vec3_path)
+        v3_arch = v3_cfg.encoder_arch
+    extra = {}
+    if on_tpu:
+        mcfg_v3 = ModelConfig(in_channels=3, encoder_arch=v3_arch)
+        params_v3 = init_vqvae_params(jax.random.key(0), mcfg_v3)
+        cdec = VQCodec(params_v3, mcfg_v3,
+                       CodecConfig(batch_size=1024,
+                                   compute_dtype="bfloat16"))
+        idx3 = jnp.asarray(rng.integers(0, K, (1024, 4, 4, 4)
+                                        ).astype(np.uint8))
+        leaves3 = jnp.asarray(rng.random((1024, 8, 8, 8, 3), np.float32))
+        extra["vec3_decode_leaves_per_sec"] = round(_fenced_rate(
+            cdec._decode_step, params_v3, idx3, 128, perturb_idx,
+            consume_f), 1)
+        extra["vec3_encode_leaves_per_sec"] = round(_fenced_rate(
+            cdec._encode_step, params_v3, leaves3, 128, perturb_leaves,
+            consume_f), 1)
+        extra["vec3_encoder_arch"] = v3_arch
+
+        mcfg_rvq = ModelConfig(num_quantizers=2)
+        params_rvq = init_vqvae_params(jax.random.key(0), mcfg_rvq)
+        crvq = VQCodec(params_rvq, mcfg_rvq,
+                       CodecConfig(batch_size=2048,
+                                   compute_dtype="bfloat16"))
+        idx_rvq = jnp.asarray(rng.integers(0, K, (2048, 4, 4, 4, 2)
+                                           ).astype(np.uint8))
+        extra["rvq2_decode_leaves_per_sec"] = round(_fenced_rate(
+            crvq._decode_step, params_rvq, idx_rvq, 256, perturb_idx,
+            consume_f), 1)
+        extra["rvq2_encode_leaves_per_sec"] = round(_fenced_rate(
+            crvq._encode_step, params_rvq, leaves, 128, perturb_leaves,
+            consume_f), 1)
 
     # Reference-shaped baseline: batch 64, f32, no Pallas, sequential;
     # median over fresh compilations (see module docstring).
@@ -173,10 +237,13 @@ def main(data_parallel: bool = False) -> None:
         "baseline_leaves_per_sec": round(baseline, 1),
         "baseline_runs": [round(r, 1) for r in base_runs],
         "baseline_spread": round(spread, 3),
+        "encoder_arch": enc_arch,
         "decode_mfu": round(value * DECODE_MFLOP_PER_LEAF * 1e6 / peak, 3)
         if on_tpu else None,
-        "encode_mfu": round(encode_value * ENCODE_MFLOP_PER_LEAF * 1e6 / peak,
-                            3) if on_tpu else None,
+        "encode_mfu": round(
+            encode_value * ENCODE_MFLOP_PER_LEAF[enc_arch] * 1e6 / peak,
+            3) if on_tpu else None,
+        **extra,
     }
     if data_parallel:
         # Mesh codec end-to-end over every local device (1 chip today, N

@@ -45,6 +45,7 @@ def main() -> None:
     ap.add_argument("--epochs", type=int, default=200)
     ap.add_argument("--min-blocks", type=int, default=50_000)
     ap.add_argument("--out-dir", default="/tmp/arch_r4")
+    ap.add_argument("--out-json", default="benchmarks/arch_quality_r4.json")
     ap.add_argument("--only", nargs="*", default=None)
     args = ap.parse_args()
 
@@ -71,6 +72,11 @@ def main() -> None:
         "vec3_reference": (ModelConfig(in_channels=3), "vec3"),
         "vec3_packed": (ModelConfig(in_channels=3, encoder_arch="packed"),
                         "vec3"),
+        # RVQ quality-tier rungs (VERDICT r3 item 8: flagship + rvq2 at
+        # the scaled pools); reference arch matches the committed rvq2
+        # artifact lineage.
+        "scalar_rvq2": (ModelConfig(num_quantizers=2), "scalar"),
+        "vec3_rvq2": (ModelConfig(in_channels=3, num_quantizers=2), "vec3"),
     }
     if args.only:
         jobs = {k: v for k, v in jobs.items() if k in args.only}
@@ -125,9 +131,8 @@ def main() -> None:
            "psnr_metric": "mean per-block PSNR (eval-report metric)",
            "eval_blocks_per_family": args.min_blocks,
            "rows": rows}
-    (ROOT / "benchmarks" / "arch_quality_r4.json").write_text(
-        json.dumps(doc, indent=2))
-    print("wrote benchmarks/arch_quality_r4.json")
+    (ROOT / args.out_json).write_text(json.dumps(doc, indent=2))
+    print(f"wrote {args.out_json}")
 
 
 if __name__ == "__main__":
