@@ -197,6 +197,37 @@ def test_cli_train_val_fraction_zero(tmp_path, capsys):
     assert all(math.isnan(v) for v in hist["val_loss"])
 
 
+def test_cli_train_encoder_arch_packed_lite(tmp_path, capsys):
+    """--encoder-arch trains the TPU-co-designed encoder; the artifact
+    round-trips through encode/decode and records its arch."""
+    data_dir = tmp_path / "data"
+    cli_main(["datagen", str(data_dir), "--volumes", "1", "--size", "32"])
+    capsys.readouterr()
+    model_path = tmp_path / "pl.vqmodel"
+    rc = cli_main([
+        "train", "--data-dir", str(data_dir), "--model-path", str(model_path),
+        "--epochs", "1", "--batch-size", "16", "--embedding-dim", "32",
+        "--num-embeddings", "64", "--compute-dtype", "float32",
+        "--encoder-arch", "packed_lite",
+    ])
+    assert rc == 0 and model_path.exists()
+    from vqvdb_tpu.core.artifact import load_model
+
+    _, mcfg = load_model(model_path)
+    assert mcfg.encoder_arch == "packed_lite"
+    vq_path = tmp_path / "s.vqvdb"
+    rc = cli_main(["encode", str(data_dir / "vol_000.npy"), str(vq_path),
+                   "--model", str(model_path), "--batch-size", "32",
+                   "--compute-dtype", "float32"])
+    assert rc == 0 and vq_path.exists()
+    capsys.readouterr()
+    out_dir = tmp_path / "dec"
+    rc = cli_main(["decode", str(vq_path), str(out_dir),
+                   "--model", str(model_path), "--batch-size", "32",
+                   "--compute-dtype", "float32"])
+    assert rc == 0 and (out_dir / "vol_000.npy").exists()
+
+
 def test_persistent_compile_cache(tmp_path):
     """CLI entry enables the persistent XLA compile cache and a compile
     populates the on-disk directory. Runs in a subprocess: jax initializes

@@ -48,6 +48,7 @@ def _cmd_train(args) -> int:
         embedding_dim=args.embedding_dim,
         num_embeddings=args.num_embeddings,
         num_quantizers=args.num_quantizers,
+        encoder_arch=args.encoder_arch,
     )
     tcfg = TrainConfig(
         epochs=args.epochs,
@@ -493,6 +494,7 @@ def _cmd_export_checkpoint(args) -> int:
         embedding_dim=args.embedding_dim,
         num_embeddings=args.num_embeddings,
         num_quantizers=args.num_quantizers,
+        encoder_arch=args.encoder_arch,
     )
     template = make_train_state(jax.random.key(0), mcfg, TrainConfig(), 1)
     manager = CheckpointManager(args.checkpoint_dir)
@@ -673,6 +675,13 @@ def main(argv=None) -> int:
                          "2+ = S bytes/latent-position quality tier "
                          "(effective codebook K^S)")
     pt.add_argument("--embedding-dim", type=int, default=128)
+    pt.add_argument("--encoder-arch", default="reference",
+                    choices=["reference", "packed", "packed_lite"],
+                    help="encoder graph family: 'reference' reproduces the "
+                         "reference encoder (torch/ONNX interop); 'packed' "
+                         "/ 'packed_lite' are the TPU-co-designed graphs "
+                         "(1.5-6.4x encode throughput at equal-or-better "
+                         "PSNR — benchmarks/arch_quality_r4.json)")
     pt.add_argument("--in-channels", type=int, default=1, choices=[1, 3])
     pt.add_argument("--stride", type=int, default=1, help="dataset subsample stride")
     pt.add_argument("--compute-dtype", default="bfloat16")
@@ -887,6 +896,8 @@ def main(argv=None) -> int:
     px.add_argument("--embedding-dim", type=int, default=128)
     px.add_argument("--num-embeddings", type=int, default=256)
     px.add_argument("--num-quantizers", type=int, default=1)
+    px.add_argument("--encoder-arch", default="reference",
+                    choices=["reference", "packed", "packed_lite"])
     px.set_defaults(func=_cmd_export_checkpoint)
 
     pxt = sub.add_parser(
