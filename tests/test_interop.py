@@ -121,6 +121,34 @@ def test_onnx_encoder_decoder_parity(cfg):
     np.testing.assert_allclose(np.moveaxis(got, 1, -1), want, atol=1e-5)
 
 
+PACKED_CFGS = [
+    ModelConfig(encoder_arch="packed"),
+    ModelConfig(encoder_arch="packed_lite"),
+    ModelConfig(in_channels=3, embedding_dim=64, encoder_arch="packed"),
+]
+
+
+@pytest.mark.parametrize("cfg", PACKED_CFGS,
+                         ids=["packed", "packed_lite", "vec3_packed"])
+def test_onnx_packed_encoder_parity(cfg):
+    """The TPU-co-designed encoders export to ONNX with the reference
+    runtime's exact I/O contract; re-parsed + numpy-executed bytes match
+    the JAX forward (space-to-channel pack included)."""
+    params = _params(cfg)
+    x = _leaves(cfg)
+    want_idx = np.asarray(encode_to_indices(params, jnp.asarray(x), cfg))
+    got_idx = run_model(build_encoder_onnx(params, cfg),
+                        {"input": np.moveaxis(x, -1, 1)})["output"]
+    assert got_idx.dtype == np.uint8
+    np.testing.assert_array_equal(want_idx, got_idx)
+
+    # Decoder export is the shared reference graph; round-trip it too.
+    want = np.asarray(decode_from_indices(params, jnp.asarray(want_idx), cfg))
+    got = run_model(build_decoder_onnx(params, cfg),
+                    {"input": want_idx})["output"]
+    np.testing.assert_allclose(np.moveaxis(got, 1, -1), want, atol=1e-5)
+
+
 def test_onnx_v4_indices_use_uint16():
     cfg = ModelConfig(num_embeddings=512, embedding_dim=32)
     params = _params(cfg)

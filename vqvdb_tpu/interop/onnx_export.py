@@ -18,6 +18,14 @@ ReduceMean, MatMul, Reshape, Transpose, Cast, Gather, ArgMin. GroupNorm
 The parity gate lives in tests/test_interop.py: serialized bytes are
 re-parsed and executed by onnx_eval.py and compared to the JAX forward at
 atol 1e-5 (the reference's own validation threshold, to_onnx.py:208).
+
+The packed TPU-co-designed encoders (ModelConfig.encoder_arch "packed" /
+"packed_lite") export too: their space-to-channel pack is a
+Reshape/Transpose/Reshape prelude and the rest is the same op vocabulary.
+The I/O contract is unchanged — input (B, C, 8, 8, 8) floats, output
+(B, 4, 4, 4) uint8/uint16 indices — so packed encoder.onnx files drop into
+the reference's ONNX-Runtime backend exactly like reference-arch ones
+(only torch-module export is reference-arch-only; see torch_export.py).
 """
 
 from __future__ import annotations
@@ -30,7 +38,8 @@ import numpy as np
 from vqvdb_tpu.core.config import LATENT_DIM, ModelConfig
 from vqvdb_tpu.utils.errors import ArtifactError
 from vqvdb_tpu.interop import onnx_proto as P
-from vqvdb_tpu.interop.torch_export import export_state_dict
+from vqvdb_tpu.interop.torch_export import (decoder_quantizer_state_dict,
+                                            export_state_dict)
 from vqvdb_tpu.models.vqvae import VQVAEParams
 
 _L = LATENT_DIM  # 4
@@ -94,12 +103,18 @@ class _Builder:
 
     def res_block(self, x: str, sd: Dict, key: str, channels: int,
                   spatial: int, groups: int = 8) -> str:
+        # SAME padding derived per conv (the packed_lite encoder's RB has a
+        # pointwise closer; everything else is k3) — mirrors
+        # models/blocks.py residual_block.
+        def same_pad(k: str) -> int:
+            return (sd[f"{k}.weight"].shape[2] - 1) // 2
+
         h = self.op("Relu", [self.group_norm(x, sd, f"{key}.gn1", groups,
                                              channels, spatial)])
-        h = self.conv(h, sd, f"{key}.conv1", pad=1)
+        h = self.conv(h, sd, f"{key}.conv1", pad=same_pad(f"{key}.conv1"))
         h = self.op("Relu", [self.group_norm(h, sd, f"{key}.gn2", groups,
                                              channels, spatial)])
-        h = self.conv(h, sd, f"{key}.conv2", pad=1)
+        h = self.conv(h, sd, f"{key}.conv2", pad=same_pad(f"{key}.conv2"))
         return self.op("Add", [x, self.op("Mul", [h, self.const_scalar(0.1)])])
 
     def attention(self, x: str, sd: Dict, key: str, channels: int) -> str:
@@ -125,9 +140,53 @@ class _Builder:
         return P.model_proto(g)
 
 
+def _packed_encoder_sd(params: VQVAEParams) -> Dict:
+    """Torch-layout (OIDHW) numpy dict for the packed encoder's params.
+    The packed graphs have no reference module tree, so the keys here are
+    ours — stem.0/stem.1/res_stack.0/attn/proj in the reference's naming
+    style — used only inside the emitted ONNX."""
+    from vqvdb_tpu.interop.torch_export import _attn, _conv, _gn, _rb
+
+    sd: Dict = {}
+    enc = params.encoder
+    _conv(sd, "encoder.stem.0", enc["stem_conv"])
+    _gn(sd, "encoder.stem.1", enc["stem_gn"])
+    _rb(sd, "encoder.res_stack.0", enc["rb"])
+    _attn(sd, "encoder.attn", enc["attn"])
+    _conv(sd, "encoder.proj", enc["proj"])
+    return sd
+
+
+def _encoder_body_packed(b: _Builder, sd: Dict, cfg: ModelConfig,
+                         x: str) -> str:
+    """'input' (B, C, 8, 8, 8) -> latent z (B, D, 4, 4, 4) for the packed
+    TPU-co-designed encoders; mirrors models/vqvae.py
+    _encoder_features_packed stage-for-stage in NCDHW.
+
+    space_to_channel in NCDHW: split each spatial dim as (coarse, parity),
+    move the three parity axes next to C, and flatten — packed channel
+    index = c*8 + a*4 + b*2 + c_off, identical to ops/packed.py's
+    channels-last convention, so the DHWIO->OIDHW weight transpose is the
+    only layout change."""
+    c = cfg.in_channels
+    from vqvdb_tpu.models.vqvae import packed_encoder_width
+
+    w = packed_encoder_width(cfg)
+    h = b.op("Reshape", [x, b.shape_const([0, c, _L, 2, _L, 2, _L, 2])])
+    h = b.op("Transpose", [h], perm=[0, 1, 3, 5, 7, 2, 4, 6])
+    h = b.op("Reshape", [h, b.shape_const([0, c * 8] + [_L] * 3)])
+    h = b.conv(h, sd, "encoder.stem.0", pad=1)
+    h = b.op("Relu", [b.group_norm(h, sd, "encoder.stem.1", 8, w, _L)])
+    h = b.res_block(h, sd, "encoder.res_stack.0", w, _L)
+    h = b.attention(h, sd, "encoder.attn", w)
+    return b.conv(h, sd, "encoder.proj")
+
+
 def _encoder_body(b: _Builder, sd: Dict, cfg: ModelConfig, x: str) -> str:
     """'input' -> latent z (B, D, 4, 4, 4); mirrors models/vqvae.py
     encoder_apply stage-for-stage."""
+    if cfg.encoder_arch.startswith("packed"):
+        return _encoder_body_packed(b, sd, cfg, x)
     if cfg.variant == "scalar":
         h = b.conv(x, sd, "encoder.pre.0", pad=1)
         h = b.op("Relu", [b.group_norm(h, sd, "encoder.pre.1", 4, 16, 8)])
@@ -170,8 +229,16 @@ def _index_onnx_dtype(cfg: ModelConfig) -> int:
     return P.UINT8 if cfg.num_embeddings <= 256 else P.UINT16
 
 
+def _state_dict(params: VQVAEParams, cfg: ModelConfig) -> Dict:
+    if cfg.encoder_arch.startswith("packed"):
+        sd = decoder_quantizer_state_dict(params, cfg)
+        sd.update(_packed_encoder_sd(params))
+        return sd
+    return export_state_dict(params, cfg)
+
+
 def build_encoder_onnx(params: VQVAEParams, cfg: ModelConfig) -> bytes:
-    sd = export_state_dict(params, cfg)
+    sd = _state_dict(params, cfg)
     b = _Builder()
     z = _encoder_body(b, sd, cfg, "input")
     t = b.op("Transpose", [z], perm=[0, 2, 3, 4, 1])
@@ -191,7 +258,7 @@ def build_encoder_onnx(params: VQVAEParams, cfg: ModelConfig) -> bytes:
 
 
 def build_decoder_onnx(params: VQVAEParams, cfg: ModelConfig) -> bytes:
-    sd = export_state_dict(params, cfg)
+    sd = _state_dict(params, cfg)
     b = _Builder()
     idx = b.op("Cast", ["input"], to=P.INT64)
     q = b.op("Gather", [b.init(sd["quantizer.embedding"], "embedding"), idx],
@@ -215,10 +282,6 @@ def export_onnx(out_dir: Union[str, Path], params: VQVAEParams,
         raise ArtifactError(
             "ONNX export targets the reference runtime, which supports a "
             "single quantizer stage; residual-VQ models cannot be exported")
-    if cfg.encoder_arch != "reference":
-        raise ArtifactError(
-            "ONNX export targets the reference runtime's graphs; the packed "
-            "(TPU-co-designed) encoder cannot be exported")
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
     enc, dec = out / "encoder.onnx", out / "decoder.onnx"

@@ -78,7 +78,17 @@ def export_state_dict(params: VQVAEParams, cfg: ModelConfig) -> Dict[str, np.nda
         _rb(sd, "encoder.res_stack.1", enc["rb2"])
     _attn(sd, "encoder.attn", enc["attn"])
     _conv(sd, "encoder.proj", enc["proj"])
+    sd.update(decoder_quantizer_state_dict(params, cfg))
+    return sd
 
+
+def decoder_quantizer_state_dict(params: VQVAEParams, cfg: ModelConfig
+                                 ) -> Dict[str, np.ndarray]:
+    """Reference-keyed decoder + quantizer entries only. The decoder graph
+    is shared by every encoder_arch (the packed encoders pair with the
+    unchanged reference decoder), so the ONNX exporter reuses this for
+    packed models that export_state_dict rejects."""
+    sd: Dict[str, np.ndarray] = {}
     dec = params.decoder
     _conv(sd, "decoder.stem.0", dec["stem_conv"])
     _gn(sd, "decoder.stem.1", dec["stem_gn"])

@@ -134,7 +134,10 @@ def _init_encoder_packed(key, cfg: ModelConfig, dtype) -> Params:
     all in conv/GEMM shapes the v5e decoder trunk already runs at 62% MFU.
     "packed_lite" makes the RB's closer conv pointwise (k1) — ~19 MFLOP —
     for the measured speed point past 2x the reference-arch encode.
-    Not reference graphs: torch/ONNX interop exporters reject them.
+    Not reference graphs: the torch-module exporter rejects them (no
+    reference module tree), but ONNX export works — the emitted
+    encoder.onnx keeps the reference runtime's exact I/O contract
+    (interop/onnx_export.py).
     """
     w = packed_encoder_width(cfg)
     k = jax.random.split(key, 4)
