@@ -120,9 +120,10 @@ def main(data_parallel: bool = False) -> None:
     rng = np.random.default_rng(0)
 
     # The encode row benches what ships: the committed flagship artifact's
-    # encoder arch (round 4 moved it to the packed TPU-co-designed graph;
-    # throughput is weight-independent, so untrained params with the same
-    # config measure the same program).
+    # encoder arch, whatever that is at HEAD (throughput is
+    # weight-independent, so untrained params with the same config measure
+    # the same program). The packed/packed_lite tiers have their own A/B
+    # rows in benchmarks/encoder_v2_ab_r4.json.
     from pathlib import Path
 
     from vqvdb_tpu.core.artifact import load_model

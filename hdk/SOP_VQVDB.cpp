@@ -52,20 +52,52 @@ inline CliResult runCli(const std::string& command) {
     return r;
 }
 
+// Shell-safe quoting for the popen command line. Parameter values come
+// from the .hip file, which may be untrusted — they must never reach the
+// shell unescaped. POSIX: single quotes disable every expansion (command
+// substitution, $VAR, backticks); an embedded ' becomes '\''. Windows cmd
+// has no escape that is safe inside double quotes, so metacharacters are
+// stripped there.
 inline std::string quoted(const UT_StringHolder& s) {
+#ifdef _WIN32
     std::string out = "\"";
-    for (const char c : s.toStdString())
-        if (c != '"') out += c;
+    for (const char c : s.toStdString()) {
+        switch (c) {
+            case '"': case '%': case '^': case '&': case '|':
+            case '<': case '>': case '\n': case '\r':
+                break;  // cmd.exe expands these even inside quotes
+            default:
+                out += c;
+        }
+    }
     return out + "\"";
+#else
+    std::string out = "'";
+    for (const char c : s.toStdString()) {
+        if (c == '\'')
+            out += "'\\''";
+        else
+            out += c;
+    }
+    return out + "'";
+#endif
 }
 
-// Scratch .vdb path for the geometry bridge, cleaned up by Houdini's temp
-// file manager at exit.
+// Scratch .vdb path for the geometry bridge. The temp manager registers
+// the base name, but the file actually written is base + ".vdb" — each
+// cook deletes it explicitly (ScopedFile) so multi-GB bridge files never
+// accumulate across cooks.
 inline UT_StringHolder tempVdbPath(const char* tag) {
     UT_StringHolder path =
         UT_TempFileManager::class_createTempFileName(tag);
     return UT_StringHolder(path.toStdString() + ".vdb");
 }
+
+struct ScopedFile {
+    std::string path;
+    explicit ScopedFile(const UT_StringHolder& p) : path(p.toStdString()) {}
+    ~ScopedFile() { if (!path.empty()) std::remove(path.c_str()); }
+};
 
 // ---------------------------------------------------------------------------
 // Encoder
@@ -119,6 +151,7 @@ public:
         // Bridge out: Houdini's own .vdb writer (blosc/half handled by the
         // Python side without OpenVDB).
         const UT_StringHolder bridge = tempVdbPath("vqvdb_enc");
+        const ScopedFile cleanup(bridge);
         if (!gdp->save(bridge.c_str(), nullptr).success()) {
             cook.sopAddError(SOP_MESSAGE, "Failed to stage input VDB grids.");
             return;
@@ -203,6 +236,7 @@ public:
         }
 
         const UT_StringHolder bridge = tempVdbPath("vqvdb_dec");
+        const ScopedFile cleanup(bridge);
         std::string c = quoted(cmd) + " decode " + quoted(in) + " "
             + quoted(bridge) + " --batch-size " + std::to_string(batch);
         if (grid.isstring()) c += " --grid " + quoted(grid);

@@ -241,6 +241,22 @@ def test_mesh_encode_dense_rejected(mesh_codec):
         encode_from_dense(mesh_codec, np.zeros((8, 8, 8), np.float32))
 
 
+def test_multihost_dense_rejected(mesh_codec, rng):
+    """The mesh dense path builds host-global shard inputs, which only a
+    single-process mesh can address — multihost codecs must get a typed
+    error, not an obscure JAX device failure."""
+    from vqvdb_tpu.utils.errors import VqvdbError
+
+    g = _sparse_grid(rng, bdims=(2, 2, 2))
+    idx = np.zeros((g.num_leaves, 4, 4, 4), np.uint8)
+    mesh_codec._multihost = True
+    try:
+        with pytest.raises(VqvdbError, match="single-process"):
+            decode_to_dense(mesh_codec, idx, g.origins)
+    finally:
+        mesh_codec._multihost = False
+
+
 def _residual_file(codec, tmp_path, rng, mode, name="dense_res"):
     g = _sparse_grid(rng, bdims=(6, 3, 2))
     path = tmp_path / f"{name}_{mode}.vqvdb"

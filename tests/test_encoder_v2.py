@@ -14,6 +14,7 @@ export gates (no reference counterpart exists for this graph).
 import dataclasses
 import json
 import struct
+from pathlib import Path
 
 import numpy as np
 import pytest
@@ -188,18 +189,20 @@ def test_artifact_backward_compat(tmp_path):
     assert cfg2.encoder_arch == "reference"
 
 
-def test_interop_gates(packed_params):
+def test_interop_gates(packed_params, tmp_path):
+    """torch interop stays reference-only (the packed graph has no torch
+    module tree); ONNX export of packed archs works (the ONNX graph is
+    built from our own ops — parity gates live in tests/test_interop.py)."""
     from vqvdb_tpu.core.torch_import import import_state_dict
     from vqvdb_tpu.interop.onnx_export import export_onnx
     from vqvdb_tpu.interop.torch_export import export_state_dict
-    from vqvdb_tpu.utils.errors import ArtifactError
 
     with pytest.raises(ValueError, match="packed"):
         export_state_dict(packed_params, PCFG)
-    with pytest.raises(ArtifactError, match="packed"):
-        export_onnx("/tmp/never", packed_params, PCFG)
     with pytest.raises(ValueError, match="reference"):
         import_state_dict({}, PCFG)
+    paths = export_onnx(tmp_path / "onnx", packed_params, PCFG)
+    assert Path(paths["encoder"]).exists() and Path(paths["decoder"]).exists()
 
 
 def test_forward_training_graph(packed_params, rng):

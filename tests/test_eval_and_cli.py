@@ -331,3 +331,27 @@ def test_cli_eval_report_latent_diagnostics(tmp_path, capsys):
         assert (rep / png).exists(), png
     md = (rep / "report.md").read_text()
     assert "codebook_pca.png" in md and "zero_split.png" in md
+
+
+def test_cli_eval_report_rvq(tmp_path, capsys):
+    """--report-dir on a residual-VQ model: the codebook PCA has one point
+    per (stage, code) while usage counts pool stages — regression for the
+    S*K-vs-K color-array crash."""
+    data_dir = tmp_path / "data"
+    assert cli_main(["datagen", str(data_dir), "--volumes", "1",
+                     "--size", "32"]) == 0
+    capsys.readouterr()
+    model_path = tmp_path / "m.vqmodel"
+    assert cli_main([
+        "train", "--data-dir", str(data_dir), "--model-path",
+        str(model_path), "--epochs", "1", "--batch-size", "16",
+        "--embedding-dim", "16", "--num-embeddings", "32",
+        "--num-quantizers", "2", "--compute-dtype", "float32",
+    ]) == 0
+    capsys.readouterr()
+    rep = tmp_path / "report_rvq"
+    assert cli_main(["eval", "--data-dir", str(data_dir), "--model",
+                     str(model_path), "--max-leaves", "48",
+                     "--batch-size", "16", "--compute-dtype", "float32",
+                     "--report-dir", str(rep)]) == 0
+    assert (rep / "codebook_pca.png").exists()

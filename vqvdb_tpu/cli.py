@@ -438,6 +438,17 @@ def _cmd_eval(args) -> int:
             -1, codec.mcfg.embedding_dim)
         cb["embedding"] = np.asarray(codec.params.vq.embedding).reshape(
             -1, codec.mcfg.embedding_dim)
+        if codec.mcfg.num_quantizers > 1:
+            # Residual-VQ: the PCA scatter has one point per (stage, code)
+            # but codebook_report pools stages into K counts — recolor
+            # per stage from the stage-last index axis.
+            idx = np.asarray(report["indices"]).reshape(
+                -1, codec.mcfg.num_quantizers)
+            cb["pca_counts"] = np.concatenate([
+                np.bincount(idx[:, s],
+                            minlength=codec.mcfg.num_embeddings)
+                for s in range(codec.mcfg.num_quantizers)
+            ]).astype(np.float64)
         md = write_report(args.report_dir, report, cb,
                           sample_leaves=sample, sample_recon=recon,
                           title=f"eval: {args.model}")

@@ -54,8 +54,10 @@ class ModelConfig:
     # carry the decoder trunk to 62% MFU. "packed_lite" additionally makes
     # the residual block's closer conv pointwise (k1), halving encode
     # FLOPs; measured on v5e (benchmarks/encoder_v2_ab_r4.json). Decoder,
-    # quantizer, and container are unchanged for both; interop exporters
-    # require "reference".
+    # quantizer, and container are unchanged for both. ONNX export works
+    # for every arch (the graph is built from our own ops); only the
+    # torch-module exporters require "reference" (they target the
+    # reference's state_dict tree, which the packed graphs don't have).
     encoder_arch: str = "reference"
 
     def __post_init__(self):

@@ -77,10 +77,17 @@ def write_report(
         fig.savefig(out / "montage.png", dpi=110)
         plt.close(fig)
 
+    # Residual-VQ embeddings carry S*K rows; use the caller's per-(stage,
+    # code) counts when provided, and never color with a mismatched array.
+    emb = codebook.get("embedding")
+    pca_counts = codebook.get("pca_counts", counts)
+    if emb is not None and pca_counts is not None \
+            and len(pca_counts) != len(emb):
+        pca_counts = None
     extra_pngs = write_latent_diagnostics(
         out,
-        codebook_vectors=codebook.get("embedding"),
-        counts=counts,
+        codebook_vectors=emb,
+        counts=pca_counts,
         latents=report.get("latent_sample"),
         originals=sample_leaves,
         recons=sample_recon,

@@ -324,10 +324,13 @@ class VQCodec:
             out = np.empty((n,) + tuple(dev.shape[1:]), dev.dtype)
         from vqvdb_tpu.runtime.native_io import copy_into
 
+        seen = set()  # replicated outputs repeat the same row range on
+        # every local device (multihost replicate_out) — copy each once
         for sh in shards:
             r0 = sh.index[0].start or 0
-            if r0 >= n:
+            if r0 >= n or r0 in seen:
                 continue
+            seen.add(r0)
             data = np.asarray(sh.data)
             rows = min(data.shape[0], n - r0)
             # Threaded native copy (DP_SCALING fix (a)): on multi-core
@@ -392,6 +395,58 @@ class VQCodec:
             yield pending.popleft()
 
     # -- file-level API (ref: VQVAECodec::compress / ::decompress) -------
+    def _resolve_format(self, format_version: Optional[int],
+                        residual: Optional[str],
+                        residual_tol: Optional[float]) -> int:
+        """Container/option semantics shared by compress and
+        compress_stream (they must stay byte-identical): residual-mode
+        validation and format-version defaulting."""
+        if residual is not None:
+            from vqvdb_tpu.runtime.residual import RESIDUAL_MODES
+
+            if residual not in RESIDUAL_MODES:
+                raise ValueError(f"unknown residual mode {residual!r}")
+            if residual_tol is not None and residual != "int8":
+                raise ValueError("residual_tol applies to the int8 mode only")
+            if format_version is None:
+                format_version = 6
+            elif format_version != 6:
+                raise ValueError(
+                    "residual correction requires format version 6")
+        if format_version is None:
+            # v3 stores 1 byte per index (ref: VQVDB_Reader.cpp chunk layout)
+            # and is the byte-identical default; codebooks beyond 256 (e.g.
+            # the reference's 4096-code vec3 config, which could not
+            # round-trip v3 at all) auto-upgrade to our v4 extension.
+            format_version = 3 if self.mcfg.num_embeddings <= 256 else 4
+        return format_version
+
+    def _grid_meta(self, name: str, total_blocks: int, transform,
+                   channels: int, residual: Optional[str]) -> GridMetadata:
+        return GridMetadata(
+            name=name,
+            num_embeddings=self.mcfg.num_embeddings,
+            # (4,4,4) single-stage; (4,4,4,S) residual-VQ — the
+            # container's latent shape is dimension-count generic.
+            latent_shape=self.mcfg.index_shape,
+            total_blocks=total_blocks,
+            transform=transform,
+            residual_mode=(0 if residual is None else
+                           {"int8": 1, "f16": 2}[residual]),
+            residual_channels=0 if residual is None else channels,
+        )
+
+    @staticmethod
+    def _compress_stats(total: int, t0: float,
+                        out_path: Union[str, Path]) -> dict:
+        dt = time.perf_counter() - t0
+        return {
+            "leaves": total,
+            "seconds": dt,
+            "leaves_per_sec": total / dt if dt > 0 else float("inf"),
+            "bytes": Path(out_path).stat().st_size,
+        }
+
     def compress(
         self,
         grids: Union[LeafGrid, Sequence[LeafGrid]],
@@ -421,42 +476,16 @@ class VQCodec:
         """
         if isinstance(grids, LeafGrid):
             grids = [grids]
-        if residual is not None:
-            from vqvdb_tpu.runtime.residual import RESIDUAL_MODES
-
-            if residual not in RESIDUAL_MODES:
-                raise ValueError(f"unknown residual mode {residual!r}")
-            if residual_tol is not None and residual != "int8":
-                raise ValueError("residual_tol applies to the int8 mode only")
-            if format_version is None:
-                format_version = 6
-            elif format_version != 6:
-                raise ValueError(
-                    "residual correction requires format version 6")
-        if format_version is None:
-            # v3 stores 1 byte per index (ref: VQVDB_Reader.cpp chunk layout)
-            # and is the byte-identical default; codebooks beyond 256 (e.g.
-            # the reference's 4096-code vec3 config, which could not
-            # round-trip v3 at all) auto-upgrade to our v4 extension.
-            format_version = 3 if self.mcfg.num_embeddings <= 256 else 4
+        format_version = self._resolve_format(format_version, residual,
+                                              residual_tol)
         t0 = time.perf_counter()
         total = 0
         with VqvdbWriter(out_path, version=format_version,
                          compression=compression) as w:
             for grid in grids:
-                meta = GridMetadata(
-                    name=grid.name,
-                    num_embeddings=self.mcfg.num_embeddings,
-                    # (4,4,4) single-stage; (4,4,4,S) residual-VQ — the
-                    # container's latent shape is dimension-count generic.
-                    latent_shape=self.mcfg.index_shape,
-                    total_blocks=grid.num_leaves,
-                    transform=grid.transform,
-                    residual_mode=(0 if residual is None else
-                                   {"int8": 1, "f16": 2}[residual]),
-                    residual_channels=(0 if residual is None
-                                       else grid.channels),
-                )
+                meta = self._grid_meta(grid.name, grid.num_leaves,
+                                       grid.transform, grid.channels,
+                                       residual)
                 w.start_grid(meta)
                 if residual is not None:
                     from vqvdb_tpu.runtime.residual import quantize_residual
@@ -482,13 +511,7 @@ class VQCodec:
                     if progress:
                         print(f"[compress] {grid.name}: {s + n}/{grid.num_leaves}")
                 w.end_grid()
-        dt = time.perf_counter() - t0
-        return {
-            "leaves": total,
-            "seconds": dt,
-            "leaves_per_sec": total / dt if dt > 0 else float("inf"),
-            "bytes": Path(out_path).stat().st_size,
-        }
+        return self._compress_stats(total, t0, out_path)
 
     def compress_stream(
         self,
@@ -516,20 +539,8 @@ class VQCodec:
         (tests/test_streaming_vdb.py)."""
         if not isinstance(streams, (list, tuple)):
             streams = [streams]
-        if residual is not None:
-            from vqvdb_tpu.runtime.residual import RESIDUAL_MODES
-
-            if residual not in RESIDUAL_MODES:
-                raise ValueError(f"unknown residual mode {residual!r}")
-            if residual_tol is not None and residual != "int8":
-                raise ValueError("residual_tol applies to the int8 mode only")
-            if format_version is None:
-                format_version = 6
-            elif format_version != 6:
-                raise ValueError(
-                    "residual correction requires format version 6")
-        if format_version is None:
-            format_version = 3 if self.mcfg.num_embeddings <= 256 else 4
+        format_version = self._resolve_format(format_version, residual,
+                                              residual_tol)
         bs = self.ccfg.batch_size
         t0 = time.perf_counter()
         total = 0
@@ -554,17 +565,10 @@ class VQCodec:
         with VqvdbWriter(out_path, version=format_version,
                          compression=compression) as w:
             for stream in streams:
-                meta = GridMetadata(
-                    name=stream.name,
-                    num_embeddings=self.mcfg.num_embeddings,
-                    latent_shape=self.mcfg.index_shape,
-                    total_blocks=stream.num_leaves,
-                    transform=np.asarray(stream.transform, np.float32),
-                    residual_mode=(0 if residual is None else
-                                   {"int8": 1, "f16": 2}[residual]),
-                    residual_channels=(0 if residual is None
-                                       else stream.channels),
-                )
+                meta = self._grid_meta(
+                    stream.name, stream.num_leaves,
+                    np.asarray(stream.transform, np.float32),
+                    stream.channels, residual)
                 w.start_grid(meta)
                 pending: collections.deque = collections.deque()
                 cursor = 0
@@ -614,13 +618,7 @@ class VQCodec:
                         f"stream '{stream.name}' yielded {cursor} leaves, "
                         f"declared {stream.num_leaves}")
                 w.end_grid()
-        dt = time.perf_counter() - t0
-        return {
-            "leaves": total,
-            "seconds": dt,
-            "leaves_per_sec": total / dt if dt > 0 else float("inf"),
-            "bytes": Path(out_path).stat().st_size,
-        }
+        return self._compress_stats(total, t0, out_path)
 
     def decode_stream(self, in_path: Union[str, Path], *,
                       grids=None, bbox=None):

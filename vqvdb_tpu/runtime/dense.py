@@ -48,7 +48,6 @@ the sparse path pays (math identical to runtime/residual.apply_residual).
 
 from __future__ import annotations
 
-import functools
 from pathlib import Path
 from typing import List, Optional, Sequence, Tuple, Union
 
@@ -348,7 +347,15 @@ def decode_to_dense(
         return dense, lo_arr
 
     # Mesh: partition leaves by x-slab owner, pad every shard to the same
-    # step count, decode+scatter shard-locally.
+    # step count, decode+scatter shard-locally. The partition is built
+    # from host-global arrays, so this requires every mesh device to be
+    # addressable from this process.
+    if getattr(codec, "_multihost", False):
+        raise VqvdbError(
+            "dense decode builds host-global shard inputs and supports "
+            "single-process meshes only; in multi-host runs use the file "
+            "codec paths (which are multihost-aware) or a process-local "
+            "mesh")
     n_dev = int(codec.mesh.devices.size)
     nx, ny, nz = bdims
     nx_local = -(-nx // n_dev)
