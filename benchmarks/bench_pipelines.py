@@ -52,10 +52,45 @@ open(out, "w").write(f"{stats['leaves']} {dt}")
 """
 
 
+_HOST_WORKER = """
+import sys, time
+import numpy as np
+from vqvdb_tpu.format.vqvdb import VqvdbReader
+from vqvdb_tpu.runtime.native_io import copy_into
+
+path, out = sys.argv[1], sys.argv[2]
+bs = 2048
+# The per-batch decode result a device would hand back; host-only mode
+# measures everything the HOST must still do per batch (file read, chunk
+# deinterleave, result-row materialization) with device compute removed —
+# the per-pipeline ceiling term of the DP_SCALING projection.
+sim = np.random.default_rng(0).random((bs, 8, 8, 8, 1)).astype(np.float32)
+total = 0
+t0 = time.perf_counter()
+with VqvdbReader(path) as r:
+    while r.has_next_grid():
+        meta = r.next_grid_metadata()
+        dst = np.empty((meta.total_blocks, 8, 8, 8, 1), np.float32)
+        got = 0
+        while r.has_next():
+            idx, origins = r.next_batch(bs)
+            n = idx.shape[0]
+            copy_into(dst[got : got + n], sim[:n])
+            got += n
+        total += got
+dt = time.perf_counter() - t0
+open(out, "w").write(f"{total} {dt}")
+"""
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--leaves", type=int, default=30_000)
     ap.add_argument("--max-pipelines", type=int, default=4)
+    ap.add_argument("--host-only", action="store_true",
+                    help="skip model decode in the workers: measures the "
+                         "per-pipeline HOST ceiling (reader + "
+                         "materialization), not CPU conv throughput")
     ap.add_argument("--out", default="benchmarks/dp_pipelines_r4.json")
     args = ap.parse_args()
 
@@ -72,7 +107,8 @@ def main() -> None:
     from vqvdb_tpu.train.synthetic import smoke_grid
 
     model = str(ROOT / "models" / "scalar.vqmodel")
-    doc: dict = {"leaves_per_file": args.leaves, "native": backend()}
+    doc: dict = {"leaves_per_file": args.leaves, "native": backend(),
+                 "host_only": bool(args.host_only)}
 
     # --- threaded-copy A/B at the DP batch size (4.2 MB) -----------------
     src = np.random.default_rng(0).random((2048, 8, 8, 8, 1)
@@ -119,10 +155,15 @@ def main() -> None:
             t0 = time.perf_counter()
             procs = []
             for i in range(n):
-                procs.append(subprocess.Popen(
+                worker_argv = (
+                    [sys.executable, "-c", _HOST_WORKER,
+                     str(tdp / f"f{i}.vqvdb"), str(tdp / f"r{i}.txt")]
+                    if args.host_only else
                     [sys.executable, "-c", _WORKER,
                      str(tdp / f"f{i}.vqvdb"), model,
-                     str(tdp / f"r{i}.txt")],
+                     str(tdp / f"r{i}.txt")])
+                procs.append(subprocess.Popen(
+                    worker_argv,
                     env=env, stdout=subprocess.PIPE,
                     stderr=subprocess.STDOUT))
             for p in procs:
