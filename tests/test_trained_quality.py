@@ -25,26 +25,47 @@ def test_trained_model_quality():
     codec = api.make_codec(MODEL, batch_size=256, compute_dtype="float32")
     leaves = smoke_grid(64, seed=9999).leaves  # unseen volume
     rep = evaluate_codec(codec, leaves)
-    # The committed round-3 artifact (retrain_data15_r3) scores 47.79 dB
-    # here; a 44 dB floor leaves ~3.8 dB retrain headroom while catching
-    # kernel/numerics regressions well above eval noise (the eval is
-    # deterministic).
-    assert rep["psnr_mean"] > 44.0, f"PSNR regressed: {rep['psnr_mean']:.2f} dB"
-    assert rep["mse"] < 2e-4
+    # The committed round-4 artifact (10x pools, arch10x_b_r4 lineage)
+    # scores 53.24 dB here (benchmarks/anchors_r4.json); a 50 dB floor
+    # leaves ~3 dB retrain headroom while catching kernel/numerics
+    # regressions well above eval noise (the eval is deterministic).
+    assert rep["psnr_mean"] > 50.0, f"PSNR regressed: {rep['psnr_mean']:.2f} dB"
+    assert rep["mse"] < 1e-4
     cb = codebook_report(rep["indices"], codec.mcfg.num_embeddings)
     assert cb["active_codes"] > 100  # healthy codebook utilization
 
 
+PACKED_MODEL = MODEL.parent / "scalar_packed.vqmodel"
+
+# The packed (TPU-co-designed) encoder speed tier, trained at the 10x
+# pools (benchmarks/arch10x_d_r4.json 50k-block judge: smoke 54.82,
+# levelset 41.42). Floors leave ~2 dB retrain headroom; the tier must
+# also stay within ~2 dB of the flagship on smoke — its selling point is
+# matching reference quality there at 1.5x encode throughput.
+
+
+@pytest.mark.skipif(not PACKED_MODEL.exists(),
+                    reason="packed artifact not present")
+def test_packed_tier_smoke_quality():
+    from vqvdb_tpu.train.synthetic import smoke_grid
+
+    rep = _family_eval(smoke_grid, PACKED_MODEL, (1000, 1001, 1002))
+    assert rep["num_blocks"] > 900
+    assert rep["psnr_mean"] > 52.5, f"packed smoke mean {rep['psnr_mean']:.2f}"
+    assert rep["psnr_p5"] > 47.0, f"packed smoke p5 {rep['psnr_p5']:.2f}"
+
+
 VEC3_MODEL = MODEL.parent / "vec3.vqmodel"
 
-# Family thresholds anchored to the round-3 50k-block evaluation
-# (benchmarks/eval_r3.json, seeds 1000+; PSNR percentile ladders in the
-# committed reports). Each gate evaluates the leading seeds of the same
-# unseen pool, so the measured-here values sit on the 50k distribution:
-#   smoke    999 blocks: mean 48.39 p5 42.8   (50k: mean 48.14 p5 41.86)
-#   levelset 1136 blocks: mean 33.12 p5 20.43 (50k: mean 32.80 p5 20.41)
-#   vec3     387 blocks: mean 32.70 p5 23.23  (50k: mean 30.63 p5 22.29)
-# Floors leave ~2-3 dB retrain headroom while tripping on kernel or
+# Family thresholds anchored to the round-4 10x-data artifacts
+# (benchmarks/anchors_r4.json leading-seed evals; 50k-block judge rows in
+# benchmarks/arch10x_*_r4.json). Each gate evaluates the leading seeds of
+# the same unseen pool, so the measured-here values sit on the 50k
+# distribution:
+#   smoke    999 blocks: mean 55.54 p5 49.88 (50k: mean 54.76 p5 48.90)
+#   levelset 1136 blocks: mean 43.19 p5 35.17 (50k: mean 42.79 p5 34.16)
+#   vec3     387 blocks: mean 37.81 p5 28.24 (50k: mean 36.17 p5 27.31)
+# Floors leave ~2 dB retrain headroom while tripping on kernel or
 # numerics regressions well above noise (run-to-run spread is 0 — the
 # eval is deterministic; the margin covers future retrains only).
 
@@ -64,8 +85,8 @@ def test_scalar_smoke_quality_50k_anchored():
 
     rep = _family_eval(smoke_grid, MODEL, (1000, 1001, 1002))
     assert rep["num_blocks"] > 900
-    assert rep["psnr_mean"] > 47.5, f"smoke mean {rep['psnr_mean']:.2f} dB"
-    assert rep["psnr_p5"] > 42.0, f"smoke p5 {rep['psnr_p5']:.2f} dB"
+    assert rep["psnr_mean"] > 53.5, f"smoke mean {rep['psnr_mean']:.2f} dB"
+    assert rep["psnr_p5"] > 47.5, f"smoke p5 {rep['psnr_p5']:.2f} dB"
 
 
 def test_scalar_levelset_quality_50k_anchored():
@@ -73,17 +94,18 @@ def test_scalar_levelset_quality_50k_anchored():
 
     rep = _family_eval(levelset_grid, MODEL, (1000, 1001, 1002))
     assert rep["num_blocks"] > 1000
-    assert rep["psnr_mean"] > 32.0, f"levelset mean {rep['psnr_mean']:.2f} dB"
-    assert rep["psnr_p5"] > 19.5, f"levelset p5 {rep['psnr_p5']:.2f} dB"
+    assert rep["psnr_mean"] > 41.0, f"levelset mean {rep['psnr_mean']:.2f} dB"
+    assert rep["psnr_p5"] > 33.0, f"levelset p5 {rep['psnr_p5']:.2f} dB"
 
 
 RVQ2_MODEL = MODEL.parent / "scalar_rvq2.vqmodel"
 
 # The residual-VQ quality tier (S=2, flagship recipe; k_sweep_r3.json)
-# must stay strictly above the single-stage flagship. Leading-seed
-# anchors: smoke 999 blocks mean 51.38 p5 46.94; levelset 1136 blocks
-# mean 36.89 p5 25.12 (50k-block runs: 51.24 / 36.43,
-# benchmarks/eval_rvq2_r3.json). Floors leave ~1.5 dB retrain headroom.
+# must stay strictly above the single-stage flagship. Round-4 10x-data
+# leading-seed anchors: smoke 999 blocks mean 58.71 p5 53.03; levelset
+# 1136 blocks mean 45.73 p5 38.72 (50k-block judge: 58.75 / 45.52,
+# benchmarks/arch10x_b rows in the ladder log). Floors leave ~2 dB
+# retrain headroom.
 
 
 @pytest.mark.skipif(not RVQ2_MODEL.exists(),
@@ -93,8 +115,8 @@ def test_rvq2_tier_beats_flagship_smoke():
 
     rep = _family_eval(smoke_grid, RVQ2_MODEL, (1000, 1001, 1002))
     assert rep["num_blocks"] > 900
-    assert rep["psnr_mean"] > 50.0, f"rvq2 smoke mean {rep['psnr_mean']:.2f}"
-    assert rep["psnr_p5"] > 45.0, f"rvq2 smoke p5 {rep['psnr_p5']:.2f}"
+    assert rep["psnr_mean"] > 56.5, f"rvq2 smoke mean {rep['psnr_mean']:.2f}"
+    assert rep["psnr_p5"] > 51.0, f"rvq2 smoke p5 {rep['psnr_p5']:.2f}"
 
 
 @pytest.mark.skipif(not RVQ2_MODEL.exists(),
@@ -104,8 +126,8 @@ def test_rvq2_tier_beats_flagship_levelset():
 
     rep = _family_eval(levelset_grid, RVQ2_MODEL, (1000, 1001, 1002))
     assert rep["num_blocks"] > 1000
-    assert rep["psnr_mean"] > 35.5, f"rvq2 levelset mean {rep['psnr_mean']:.2f}"
-    assert rep["psnr_p5"] > 23.5, f"rvq2 levelset p5 {rep['psnr_p5']:.2f}"
+    assert rep["psnr_mean"] > 43.5, f"rvq2 levelset mean {rep['psnr_mean']:.2f}"
+    assert rep["psnr_p5"] > 36.5, f"rvq2 levelset p5 {rep['psnr_p5']:.2f}"
 
 
 @pytest.mark.slow
@@ -116,16 +138,17 @@ def test_vec3_quality_50k_anchored():
 
     rep = _family_eval(velocity_grid, VEC3_MODEL, (1000,))
     assert rep["num_blocks"] > 300
-    assert rep["psnr_mean"] > 31.0, f"vec3 mean {rep['psnr_mean']:.2f} dB"
-    assert rep["psnr_p5"] > 21.5, f"vec3 p5 {rep['psnr_p5']:.2f} dB"
+    assert rep["psnr_mean"] > 35.5, f"vec3 mean {rep['psnr_mean']:.2f} dB"
+    assert rep["psnr_p5"] > 26.0, f"vec3 p5 {rep['psnr_p5']:.2f} dB"
 
 
 VEC3_RVQ2_MODEL = MODEL.parent / "vec3_rvq2.vqmodel"
 
 # Vec3 residual-VQ tier (S=2, flagship recipe). Leading-seed anchor:
 # 387 blocks mean 37.05 p5 25.21 (50k: 34.81 / p5 24.28,
-# benchmarks/eval_vec3_rvq2_r3.json). Floors leave ~1.5 dB headroom while
-# staying strictly above the single-stage vec3 gate.
+# benchmarks/eval_vec3_rvq2_r3.json — r3 artifact; a 5x-pool retrain is
+# in flight to restore the tier's margin over the round-4 packed vec3
+# flagship, which the r4 swap pulled level with it).
 
 
 @pytest.mark.slow
