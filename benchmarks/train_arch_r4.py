@@ -47,6 +47,10 @@ def main() -> None:
     ap.add_argument("--out-dir", default="/tmp/arch_r4")
     ap.add_argument("--out-json", default="benchmarks/arch_quality_r4.json")
     ap.add_argument("--only", nargs="*", default=None)
+    ap.add_argument("--pool-dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="resident-pool dtype (bfloat16 halves HBM — "
+                         "needed for reference-arch vec3 at the 10x pool)")
     args = ap.parse_args()
 
     import jax
@@ -60,7 +64,8 @@ def main() -> None:
 
     compute = "float32" if jax.default_backend() == "cpu" else "bfloat16"
     tcfg = TrainConfig(epochs=args.epochs, batch_size=2048, lr=1e-4,
-                       compute_dtype=compute, val_fraction=0.0, seed=0)
+                       compute_dtype=compute, pool_dtype=args.pool_dtype,
+                       val_fraction=0.0, seed=0)
     out_dir = Path(args.out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
 

@@ -71,6 +71,30 @@ def test_train_on_device_learns(rng):
     assert int(state.step) == (n_train // 16) * TCFG.epochs
 
 
+def test_train_on_device_bf16_pool(rng):
+    """pool_dtype=bfloat16 (half-HBM resident pool — the fix for pools
+    whose f32 form + training graph exhaust device memory): trains,
+    learns, and tracks the f32-pool run closely at this error floor."""
+    x, y, z = np.mgrid[0:8, 0:8, 0:8].astype(np.float32)
+    leaves = []
+    for i in range(128):
+        c = rng.random(3) * 8
+        r = np.sqrt(((x - c[0]) ** 2 + (y - c[1]) ** 2 + (z - c[2]) ** 2))
+        leaves.append(np.clip(1 - r / 4, 0, 1))
+    data = np.stack(leaves)[..., None]
+
+    import dataclasses
+
+    tcfg16 = dataclasses.replace(TCFG, pool_dtype="bfloat16")
+    _, t16 = train_on_device(data, MCFG, tcfg16, log_fn=lambda *_: None)
+    _, t32 = train_on_device(data, MCFG, TCFG, log_fn=lambda *_: None)
+    assert np.isfinite(t16).all()
+    assert t16[-1, 1] < t16[0, 1]  # recon_err decreases
+    # bf16 target rounding adds ~1e-6 MSE noise; at this model's error
+    # floor (~1e-3) the loss trajectories agree to a few percent.
+    assert abs(t16[-1, 0] - t32[-1, 0]) < 0.3 * t32[-1, 0]
+
+
 def test_train_on_device_checkpoint_resume(tmp_path, rng):
     data = rng.random((64, 8, 8, 8, 1), dtype=np.float32)
     ckpt = tmp_path / "ck"

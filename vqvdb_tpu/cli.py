@@ -55,6 +55,7 @@ def _cmd_train(args) -> int:
         batch_size=args.batch_size,
         lr=args.lr,
         compute_dtype=args.compute_dtype,
+        pool_dtype=args.pool_dtype,
         val_fraction=args.val_fraction,
         seed=args.seed,
     )
@@ -696,6 +697,13 @@ def main(argv=None) -> int:
     pt.add_argument("--in-channels", type=int, default=1, choices=[1, 3])
     pt.add_argument("--stride", type=int, default=1, help="dataset subsample stride")
     pt.add_argument("--compute-dtype", default="bfloat16")
+    pt.add_argument("--pool-dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="dtype of the device-RESIDENT dataset "
+                         "(--device-resident only): bfloat16 halves its "
+                         "HBM footprint but bf16-rounds the recon target "
+                         "— safe when the model's error floor is well "
+                         "above bf16 rounding (e.g. vec3)")
     pt.add_argument("--val-fraction", type=float, default=0.2,
                     help="held-out fraction for per-epoch validation and "
                          "best-val selection (0 disables the split; on "

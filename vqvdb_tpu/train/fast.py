@@ -204,8 +204,12 @@ def train_on_device(
             best_val = float(best_meta.get("val_loss", best_val))
 
     run = make_device_epoch_runner(opt, mcfg, tcfg, n, mesh=mesh, n_val=n_val)
-    data = jnp.asarray(leaves[train_idx])
-    val_data = jnp.asarray(leaves[val_idx])
+    # Resident-pool dtype (TrainConfig.pool_dtype): bfloat16 halves the
+    # pool's HBM footprint at the cost of bf16-rounding the recon target —
+    # see the TrainConfig field docs for when that is safe.
+    pool_dt = jnp.dtype(tcfg.pool_dtype)
+    data = jnp.asarray(leaves[train_idx], dtype=pool_dt)
+    val_data = jnp.asarray(leaves[val_idx], dtype=pool_dt)
     key = jax.random.key(tcfg.seed + 1)
     reset_key = jax.random.key(tcfg.seed + 2)
     # Burn key splits for already-completed spans so a resumed run shuffles
