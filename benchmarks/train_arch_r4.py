@@ -82,6 +82,12 @@ def main() -> None:
         # artifact lineage.
         "scalar_rvq2": (ModelConfig(num_quantizers=2), "scalar"),
         "vec3_rvq2": (ModelConfig(in_channels=3, num_quantizers=2), "vec3"),
+        # Packed-encoder vec3 RVQ tier: pairs the round-4 packed vec3
+        # flagship with its quality tier (the reference-arch vec3 graph
+        # cannot train at the 10x f32 resident pool — see pool_dtype).
+        "vec3_rvq2_packed": (ModelConfig(in_channels=3,
+                                         encoder_arch="packed",
+                                         num_quantizers=2), "vec3"),
     }
     if args.only:
         jobs = {k: v for k, v in jobs.items() if k in args.only}
