@@ -692,8 +692,10 @@ def main(argv=None) -> int:
                     help="encoder graph family: 'reference' reproduces the "
                          "reference encoder (torch/ONNX interop); 'packed' "
                          "/ 'packed_lite' are the TPU-co-designed graphs "
-                         "(1.5-6.4x encode throughput at equal-or-better "
-                         "PSNR — benchmarks/arch_quality_r4.json)")
+                         "(1.5-6.4x encode throughput; best-in-class for "
+                         "vec3, near-parity for scalar smoke, ~1.4 dB "
+                         "behind on level sets at large training scale — "
+                         "benchmarks/arch10x_*_r4.json)")
     pt.add_argument("--in-channels", type=int, default=1, choices=[1, 3])
     pt.add_argument("--stride", type=int, default=1, help="dataset subsample stride")
     pt.add_argument("--compute-dtype", default="bfloat16")
