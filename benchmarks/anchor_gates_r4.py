@@ -38,6 +38,8 @@ def main() -> None:
         ("scalar", models / "scalar.vqmodel",
          [("smoke", smoke_grid, (1000, 1001, 1002)),
           ("levelset", levelset_grid, (1000, 1001, 1002))]),
+        ("scalar_packed", models / "scalar_packed.vqmodel",
+         [("smoke", smoke_grid, (1000, 1001, 1002))]),
         ("scalar_rvq2", models / "scalar_rvq2.vqmodel",
          [("smoke", smoke_grid, (1000, 1001, 1002)),
           ("levelset", levelset_grid, (1000, 1001, 1002))]),

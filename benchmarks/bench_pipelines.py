@@ -91,8 +91,13 @@ def main() -> None:
                     help="skip model decode in the workers: measures the "
                          "per-pipeline HOST ceiling (reader + "
                          "materialization), not CPU conv throughput")
-    ap.add_argument("--out", default="benchmarks/dp_pipelines_r4.json")
+    ap.add_argument("--out", default=None,
+                    help="output JSON (default: dp_pipelines_r4.json, or "
+                         "dp_pipelines_host_r4.json with --host-only)")
     args = ap.parse_args()
+    if args.out is None:
+        args.out = ("benchmarks/dp_pipelines_host_r4.json" if args.host_only
+                    else "benchmarks/dp_pipelines_r4.json")
 
     _plat = os.environ.get("VQVDB_PLATFORM")
     if _plat:

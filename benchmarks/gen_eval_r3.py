@@ -86,7 +86,9 @@ def eval_family(name: str, min_blocks: int, batch_size: int,
         recon = codec.decode_indices(report["indices"][:k])
         write_report(ROOT / report_dir, report, cb,
                      sample_leaves=leaves[:k], sample_recon=recon,
-                     title=f"eval: {model} ({note}; round-3, "
+                     title=f"eval: {model} ({note}; "
+                           f"{__import__('jax').default_backend()} "
+                           f"{codec.ccfg.compute_dtype} eval, "
                            f"{report['num_blocks']} blocks)")
     row = {k2: v for k2, v in report.items() if not isinstance(v, np.ndarray)}
     row.update({k2: v for k2, v in cb.items() if not isinstance(v, np.ndarray)})

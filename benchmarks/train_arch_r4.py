@@ -92,6 +92,14 @@ def main() -> None:
     if args.only:
         jobs = {k: v for k, v in jobs.items() if k in args.only}
 
+    if args.pool_dtype == "bfloat16":
+        scalar_jobs = [k for k, (_, fam) in jobs.items() if fam == "scalar"]
+        if scalar_jobs:
+            ap.error(f"--pool-dtype bfloat16 would bf16-round the recon "
+                     f"target of 55+ dB scalar rungs {scalar_jobs} — run "
+                     f"them in a separate f32-pool invocation (see "
+                     f"TrainConfig.pool_dtype docs)")
+
     pools: dict = {}
 
     def pool_for(family: str) -> np.ndarray:

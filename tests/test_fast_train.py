@@ -72,9 +72,9 @@ def test_train_on_device_learns(rng):
 
 
 def test_train_on_device_bf16_pool(rng):
-    """pool_dtype=bfloat16 (half-HBM resident pool — the fix for pools
-    whose f32 form + training graph exhaust device memory): trains,
-    learns, and tracks the f32-pool run closely at this error floor."""
+    """pool_dtype=bfloat16 (half-HBM resident pool for memory-bound
+    pools): trains, learns, and tracks the f32-pool run closely at this
+    error floor."""
     x, y, z = np.mgrid[0:8, 0:8, 0:8].astype(np.float32)
     leaves = []
     for i in range(128):

@@ -39,7 +39,9 @@ PACKED_MODEL = MODEL.parent / "scalar_packed.vqmodel"
 
 # The packed (TPU-co-designed) encoder speed tier, trained at the 10x
 # pools (benchmarks/arch10x_d_r4.json 50k-block judge: smoke 54.82,
-# levelset 41.42). Floors leave ~2 dB retrain headroom; the tier must
+# levelset 41.42; leading-seed anchor 55.62 / p5 50.49,
+# benchmarks/anchors_r4.json). Floors leave ~3 dB retrain headroom; the
+# tier must
 # also stay within ~2 dB of the flagship on smoke — its selling point is
 # matching reference quality there at 1.5x encode throughput.
 
@@ -62,9 +64,12 @@ VEC3_MODEL = MODEL.parent / "vec3.vqmodel"
 # benchmarks/arch10x_*_r4.json). Each gate evaluates the leading seeds of
 # the same unseen pool, so the measured-here values sit on the 50k
 # distribution:
-#   smoke    999 blocks: mean 55.54 p5 49.88 (50k: mean 54.76 p5 48.90)
-#   levelset 1136 blocks: mean 43.19 p5 35.17 (50k: mean 42.79 p5 34.16)
-#   vec3     387 blocks: mean 37.81 p5 28.24 (50k: mean 36.17 p5 27.31)
+#   smoke    999 blocks: mean 55.54 p5 49.88 (50k TPU-bf16: 54.76 / 48.90)
+#   levelset 1136 blocks: mean 43.19 p5 35.17 (50k TPU-bf16: 42.79 / 34.16)
+#   vec3     387 blocks: mean 37.81 p5 28.24 (50k TPU-bf16: 36.17 / 27.31)
+# (These gates run on CPU, where bf16 computes at ~f32 numerics — hence
+# the ~0.8 dB offset vs the TPU ladder rows; benchmarks/eval_r4.json has
+# the CPU 50k equivalents: 55.56 / 43.01 / 36.16.)
 # Floors leave ~2 dB retrain headroom while tripping on kernel or
 # numerics regressions well above noise (run-to-run spread is 0 — the
 # eval is deterministic; the margin covers future retrains only).
@@ -103,9 +108,9 @@ RVQ2_MODEL = MODEL.parent / "scalar_rvq2.vqmodel"
 # The residual-VQ quality tier (S=2, flagship recipe; k_sweep_r3.json)
 # must stay strictly above the single-stage flagship. Round-4 10x-data
 # leading-seed anchors: smoke 999 blocks mean 58.71 p5 53.03; levelset
-# 1136 blocks mean 45.73 p5 38.72 (50k-block judge: 58.75 / 45.52,
-# benchmarks/arch10x_b rows in the ladder log). Floors leave ~2 dB
-# retrain headroom.
+# 1136 blocks mean 45.73 p5 38.72 (50k-block TPU-bf16 judge: 58.75 /
+# 45.52, benchmarks/arch10x_b_r4.json). Floors leave ~2 dB retrain
+# headroom.
 
 
 @pytest.mark.skipif(not RVQ2_MODEL.exists(),
@@ -144,11 +149,10 @@ def test_vec3_quality_50k_anchored():
 
 VEC3_RVQ2_MODEL = MODEL.parent / "vec3_rvq2.vqmodel"
 
-# Vec3 residual-VQ tier (S=2, flagship recipe). Leading-seed anchor:
-# 387 blocks mean 37.05 p5 25.21 (50k: 34.81 / p5 24.28,
-# benchmarks/eval_vec3_rvq2_r3.json — r3 artifact; a 5x-pool retrain is
-# in flight to restore the tier's margin over the round-4 packed vec3
-# flagship, which the r4 swap pulled level with it).
+# Vec3 residual-VQ tier (S=2, packed encoder, 10x pools). Leading-seed
+# anchor: 387 blocks mean 42.07 p5 31.06 (50k TPU-bf16 judge: 40.27 /
+# 30.11, benchmarks/arch10x_e_r4.json) — strictly above the vec3
+# flagship gate again (+4.3 dB). Floors leave ~2 dB retrain headroom.
 
 
 @pytest.mark.slow
@@ -159,8 +163,8 @@ def test_vec3_rvq2_tier_beats_flagship():
 
     rep = _family_eval(velocity_grid, VEC3_RVQ2_MODEL, (1000,))
     assert rep["num_blocks"] > 300
-    assert rep["psnr_mean"] > 35.5, f"vec3 rvq2 mean {rep['psnr_mean']:.2f}"
-    assert rep["psnr_p5"] > 23.5, f"vec3 rvq2 p5 {rep['psnr_p5']:.2f}"
+    assert rep["psnr_mean"] > 40.0, f"vec3 rvq2 mean {rep['psnr_mean']:.2f}"
+    assert rep["psnr_p5"] > 29.0, f"vec3 rvq2 p5 {rep['psnr_p5']:.2f}"
 
 
 def test_trained_model_file_roundtrip(tmp_path):

@@ -66,13 +66,15 @@ class TrainConfig:
     compute_dtype: str = "bfloat16"
     # Dtype of the device-RESIDENT dataset in train/fast.py (the host
     # pipeline in this module ignores it). "bfloat16" halves the pool's
-    # HBM footprint — the fix for large resident pools whose f32 form
-    # plus the training graph exhausts device memory (measured: the
-    # reference-arch vec3 graph at a 687k-leaf f32 pool crashes a v5e
-    # worker; benchmarks/arch10x ladder). Tradeoff: the reconstruction
-    # TARGET is bf16-rounded, adding ~1e-6-level MSE noise — harmless
-    # when the model's error floor is well above bf16 rounding (vec3 at
-    # ~36 dB), wrong for 55+ dB scalar tiers. Keep float32 there.
+    # HBM footprint for memory-bound resident pools. (Note: the v5e
+    # worker crash that prompted this knob — reference-arch vec3 at a
+    # 687k-leaf pool, benchmarks/arch10x ladder — reproduced in BOTH
+    # pool dtypes, so that specific failure is not memory-alone; packed
+    # variants train clean on the same pool, and 347k-leaf pools work
+    # for every arch.) Tradeoff: the reconstruction TARGET is
+    # bf16-rounded, adding ~1e-6-level MSE noise — harmless when the
+    # model's error floor is well above bf16 rounding (vec3 at ~36 dB),
+    # wrong for 55+ dB scalar tiers. Keep float32 there.
     pool_dtype: str = "float32"
     seed: int = 0
     log_every: int = 50
