@@ -40,6 +40,8 @@ def main() -> None:
           ("levelset", levelset_grid, (1000, 1001, 1002))]),
         ("scalar_packed", models / "scalar_packed.vqmodel",
          [("smoke", smoke_grid, (1000, 1001, 1002))]),
+        ("scalar_packed_lite", models / "scalar_packed_lite.vqmodel",
+         [("smoke", smoke_grid, (1000, 1001, 1002))]),
         ("scalar_rvq2", models / "scalar_rvq2.vqmodel",
          [("smoke", smoke_grid, (1000, 1001, 1002)),
           ("levelset", levelset_grid, (1000, 1001, 1002))]),

@@ -57,6 +57,26 @@ def test_packed_tier_smoke_quality():
     assert rep["psnr_p5"] > 47.0, f"packed smoke p5 {rep['psnr_p5']:.2f}"
 
 
+PACKED_LITE_MODEL = MODEL.parent / "scalar_packed_lite.vqmodel"
+
+# packed_lite: the >=2x encode tier (~3.7M leaves/s,
+# benchmarks/packed_lite_bench_r4.json; 50k TPU-bf16 judge 54.63/40.73,
+# arch10x_a_r4.json). Floors mirror the packed gate's headroom.
+
+
+@pytest.mark.skipif(not PACKED_LITE_MODEL.exists(),
+                    reason="packed_lite artifact not present")
+def test_packed_lite_tier_smoke_quality():
+    from vqvdb_tpu.train.synthetic import smoke_grid
+
+    rep = _family_eval(smoke_grid, PACKED_LITE_MODEL, (1000, 1001, 1002))
+    assert rep["num_blocks"] > 900
+    assert rep["psnr_mean"] > 52.3, \
+        f"packed_lite smoke mean {rep['psnr_mean']:.2f}"
+    assert rep["psnr_p5"] > 47.0, \
+        f"packed_lite smoke p5 {rep['psnr_p5']:.2f}"
+
+
 VEC3_MODEL = MODEL.parent / "vec3.vqmodel"
 
 # Family thresholds anchored to the round-4 10x-data artifacts
