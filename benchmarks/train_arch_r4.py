@@ -74,6 +74,13 @@ def main() -> None:
         "scalar_packed": (ModelConfig(encoder_arch="packed"), "scalar"),
         "scalar_packed_lite": (ModelConfig(encoder_arch="packed_lite"),
                                "scalar"),
+        # Round-5 hybrid: packed + cheap 8^3 stem (VERDICT r4 item 1b) —
+        # targets the levelset tail the 4^3-only packed graph loses.
+        "scalar_packed_stem": (ModelConfig(encoder_arch="packed_stem"),
+                               "scalar"),
+        "vec3_packed_stem": (ModelConfig(in_channels=3,
+                                         encoder_arch="packed_stem"),
+                             "vec3"),
         "vec3_reference": (ModelConfig(in_channels=3), "vec3"),
         "vec3_packed": (ModelConfig(in_channels=3, encoder_arch="packed"),
                         "vec3"),

@@ -230,3 +230,65 @@ def test_packed_lite_variant(rng):
                                 fuse_proj_quantize=False))
     np.testing.assert_array_equal(fused.encode_leaves(leaves),
                                   plain.encode_leaves(leaves))
+
+
+@pytest.mark.parametrize("in_ch", [1, 3], ids=["scalar", "vec3"])
+def test_packed_stem_variant(in_ch, rng):
+    """packed_stem: an 8^3 k3 stem (C -> W/8) + GN + relu BEFORE the
+    space-to-channel pack, then a pointwise trunk stem — near-packed FLOPs
+    with an 8^3 receptive field. Checks the structural contract, encode
+    shape, fused-vs-plain score agreement (near-tie tolerant at random
+    init), and the file round trip."""
+    cfg = ModelConfig(in_channels=in_ch, encoder_arch="packed_stem")
+    params = init_vqvae_params(jax.random.key(3), cfg)
+    w = packed_encoder_width(cfg)
+    # 8^3 stem lands the pack exactly on the trunk width W.
+    assert params.encoder["pre_conv"]["w"].shape == (3, 3, 3, in_ch, w // 8)
+    # Trunk stem is pointwise (the spatial mixing moved to 8^3 + the RB).
+    assert params.encoder["stem_conv"]["w"].shape == (1, 1, 1, w, w)
+
+    x = jnp.asarray(rng.random((4, 8, 8, 8, in_ch), np.float32))
+    assert encode_to_indices(params, x, cfg).shape == (4, 4, 4, 4)
+
+    leaves = rng.random((33, 8, 8, 8, in_ch)).astype(np.float32)
+    fused = VQCodec(params, cfg, CodecConfig(batch_size=16,
+                                             compute_dtype="float32"))
+    plain = VQCodec(params, cfg,
+                    CodecConfig(batch_size=16, compute_dtype="float32",
+                                fuse_proj_quantize=False))
+    fi = np.asarray(fused.encode_leaves(leaves)).ravel()
+    pi = np.asarray(plain.encode_leaves(leaves)).ravel()
+    # At random init codebook distances can near-tie; the fused score GEMM
+    # (h @ (-2 P E)^T + c) and the plain proj-then-distance path round
+    # differently, so a tiny flip rate is fp, not a graph bug. Any flip
+    # must be a genuine near-tie under the PLAIN metric.
+    flips = np.flatnonzero(fi != pi)
+    assert flips.size <= max(2, fi.size // 100), f"{flips.size}/{fi.size}"
+    if flips.size:
+        import vqvdb_tpu.models.blocks as blocks
+        from vqvdb_tpu.models.vqvae import encoder_features
+
+        h = encoder_features(params.encoder, jnp.asarray(leaves), cfg)
+        z = np.asarray(blocks.conv3d(params.encoder["proj"], h))
+        flat = z.reshape(-1, cfg.embedding_dim)
+        emb = np.asarray(params.vq.embedding)
+        for i in flips:
+            da = ((flat[i] - emb[fi[i]]) ** 2).sum()
+            db = ((flat[i] - emb[pi[i]]) ** 2).sum()
+            assert abs(da - db) < 1e-3 * max(da, db, 1e-6)
+
+    # File round trip: the container is arch-agnostic.
+    import tempfile
+
+    n = 21
+    grid = LeafGrid(
+        name="density",
+        origins=(np.arange(n * 3).reshape(n, 3) * 8).astype(np.int32),
+        leaves=rng.random((n, 8, 8, 8, in_ch)).astype(np.float32),
+    )
+    with tempfile.TemporaryDirectory() as td:
+        path = Path(td) / "stem.vqvdb"
+        fused.compress(grid, path)
+        out, _ = fused.decompress(path)
+    idx = fused.encode_leaves(grid.leaves)
+    np.testing.assert_array_equal(out[0].leaves, fused.decode_indices(idx))

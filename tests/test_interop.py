@@ -124,12 +124,15 @@ def test_onnx_encoder_decoder_parity(cfg):
 PACKED_CFGS = [
     ModelConfig(encoder_arch="packed"),
     ModelConfig(encoder_arch="packed_lite"),
+    ModelConfig(encoder_arch="packed_stem"),
     ModelConfig(in_channels=3, embedding_dim=64, encoder_arch="packed"),
+    ModelConfig(in_channels=3, embedding_dim=64, encoder_arch="packed_stem"),
 ]
 
 
 @pytest.mark.parametrize("cfg", PACKED_CFGS,
-                         ids=["packed", "packed_lite", "vec3_packed"])
+                         ids=["packed", "packed_lite", "packed_stem",
+                              "vec3_packed", "vec3_packed_stem"])
 def test_onnx_packed_encoder_parity(cfg):
     """The TPU-co-designed encoders export to ONNX with the reference
     runtime's exact I/O contract; re-parsed + numpy-executed bytes match

@@ -104,6 +104,38 @@ def test_streamed_encode_byte_identical(tmp_path, rng):
         assert a.read_bytes() == b.read_bytes(), f"differs for {kw}"
 
 
+def _mapping_rss_kib(path: Path) -> int:
+    """Resident KiB of OUR mmap of `path`, from /proc/self/smaps."""
+    rss, in_map = 0, False
+    with open("/proc/self/smaps") as f:
+        for line in f:
+            if line[0].isdigit() or line[0] in "abcdef":
+                in_map = line.rstrip().endswith(str(path))
+            elif in_map and line.startswith("Rss:"):
+                rss += int(line.split()[1])
+    return rss
+
+
+@pytest.mark.skipif(not os.path.exists("/proc/self/smaps"),
+                    reason="needs Linux smaps")
+def test_stream_drops_consumed_pages(tmp_path, rng):
+    """Default-suite memory gate (the round-4 slow-only RSS test let a
+    broken bound ship): after draining leaf_batches, the file mapping's
+    own resident size must be O(batch), not O(file) — leaf_batches
+    madvises consumed pages away behind the read cursor."""
+    n = 6_000  # ~12 MB of leaf payload
+    g = _grid(rng, n=n)
+    path = tmp_path / "pages.vdb"
+    write_vdb(path, [g])
+    file_kib = path.stat().st_size // 1024
+    (stream,) = open_vdb_leaf_streams(path)
+    for _ in stream.leaf_batches(64):
+        pass
+    rss = _mapping_rss_kib(path)
+    # Headers + topology + the last unaligned batch; far below the file.
+    assert rss < max(2_048, file_kib // 4), (rss, file_kib)
+
+
 _RSS_RUNNER = """
 import resource, sys
 import jax

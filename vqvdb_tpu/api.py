@@ -64,6 +64,7 @@ def encode(
     compression: str = "zlib",
     residual: Optional[str] = None,
     residual_tol: Optional[float] = None,
+    should_stop=None,
 ) -> dict:
     """Compress grids to a `.vqvdb` file (SOP encoder cook semantics,
     ref: SOP_VQVDB_Encoder.cpp:84-141). format_version: None = auto
@@ -74,7 +75,11 @@ def encode(
     residual: 'int8' / 'f16' enables the v6 near-lossless tier (stored
     reconstruction-error correction; see runtime/residual.py).
     residual_tol: int8-mode target max abs error — floors the
-    quantization step so well-fit leaves cost almost nothing."""
+    quantization step so well-fit leaves cost almost nothing.
+    should_stop: zero-arg callable checked between batches — a graceful
+    abort hook (the reference's cook-interrupter semantics,
+    ref: src/Utils/Utils.hpp:174-209): completed batches are kept and the
+    archive finalizes structurally valid; stats carry "aborted": True."""
     codec = model if isinstance(model, VQCodec) else make_codec(
         model, batch_size=batch_size)
     if isinstance(grids, LeafGrid):
@@ -86,7 +91,8 @@ def encode(
     return codec.compress(list(grids), out_path, progress=progress,
                           format_version=format_version,
                           compression=compression, residual=residual,
-                          residual_tol=residual_tol)
+                          residual_tol=residual_tol,
+                          should_stop=should_stop)
 
 
 def decode(

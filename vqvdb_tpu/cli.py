@@ -153,6 +153,37 @@ def _load_vdb(path: Path):
     return grids
 
 
+class _GracefulInterrupt:
+    """SIGINT -> graceful encode abort (the reference's cook-interrupter
+    UX, ref: src/Utils/Utils.hpp:174-209): the first ^C asks the codec to
+    stop between batches — everything encoded so far is kept and the
+    archive header is finalized valid (VqvdbWriter.abort_grid). A second
+    ^C raises KeyboardInterrupt immediately."""
+
+    def __enter__(self):
+        import signal
+
+        self.stopped = False
+
+        def handler(signum, frame):
+            if self.stopped:
+                raise KeyboardInterrupt
+            self.stopped = True
+            print("interrupt: finishing current batch and finalizing the "
+                  "archive (^C again to kill)", file=sys.stderr)
+
+        self._prev = signal.signal(signal.SIGINT, handler)
+        return self
+
+    def __exit__(self, *exc):
+        import signal
+
+        signal.signal(signal.SIGINT, self._prev)
+
+    def __call__(self) -> bool:
+        return self.stopped
+
+
 def _cmd_encode(args) -> int:
     from vqvdb_tpu import api
 
@@ -174,26 +205,31 @@ def _cmd_encode(args) -> int:
                 print(f"warning: grid '{s.name}': {s.dropped_tiles} active "
                       "constant tile(s) larger than a leaf were dropped",
                       file=sys.stderr)
-        stats = codec.compress_stream(
-            streams, args.output, progress=args.verbose,
-            format_version=args.format_version, compression=args.v5_codec,
-            residual=args.residual, residual_tol=args.residual_tol)
+        with _GracefulInterrupt() as stop:
+            stats = codec.compress_stream(
+                streams, args.output, progress=args.verbose,
+                format_version=args.format_version,
+                compression=args.v5_codec,
+                residual=args.residual, residual_tol=args.residual_tol,
+                should_stop=stop)
         print(json.dumps({"grids": len(streams),
                           **{k: round(v, 2) if isinstance(v, float) else v
                              for k, v in stats.items()}}))
-        return 0
+        return 130 if stats["aborted"] else 0
     grids = _load_grids(Path(args.input), args.grid)
     if not grids:
         print("error: no grids matched", file=sys.stderr)
         return 2
-    stats = api.encode(grids, codec, args.output, progress=args.verbose,
-                       format_version=args.format_version,
-                       compression=args.v5_codec,
-                       residual=args.residual,
-                       residual_tol=args.residual_tol)
+    with _GracefulInterrupt() as stop:
+        stats = api.encode(grids, codec, args.output, progress=args.verbose,
+                           format_version=args.format_version,
+                           compression=args.v5_codec,
+                           residual=args.residual,
+                           residual_tol=args.residual_tol,
+                           should_stop=stop)
     print(json.dumps({"grids": len(grids), **{k: round(v, 2) if isinstance(v, float)
                                               else v for k, v in stats.items()}}))
-    return 0
+    return 130 if stats["aborted"] else 0
 
 
 def _cmd_decode(args) -> int:
@@ -688,14 +724,17 @@ def main(argv=None) -> int:
                          "(effective codebook K^S)")
     pt.add_argument("--embedding-dim", type=int, default=128)
     pt.add_argument("--encoder-arch", default="reference",
-                    choices=["reference", "packed", "packed_lite"],
+                    choices=["reference", "packed", "packed_lite",
+                             "packed_stem"],
                     help="encoder graph family: 'reference' reproduces the "
                          "reference encoder (torch/ONNX interop); 'packed' "
                          "/ 'packed_lite' are the TPU-co-designed graphs "
                          "(1.5-6.4x encode throughput; best-in-class for "
                          "vec3, near-parity for scalar smoke, ~1.4 dB "
                          "behind on level sets at large training scale — "
-                         "benchmarks/arch10x_*_r4.json)")
+                         "benchmarks/arch10x_*_r4.json); 'packed_stem' adds "
+                         "a cheap 8^3 stem to 'packed' to recover the "
+                         "level-set tail at the same speed class")
     pt.add_argument("--in-channels", type=int, default=1, choices=[1, 3])
     pt.add_argument("--stride", type=int, default=1, help="dataset subsample stride")
     pt.add_argument("--compute-dtype", default="bfloat16")
@@ -918,7 +957,8 @@ def main(argv=None) -> int:
     px.add_argument("--num-embeddings", type=int, default=256)
     px.add_argument("--num-quantizers", type=int, default=1)
     px.add_argument("--encoder-arch", default="reference",
-                    choices=["reference", "packed", "packed_lite"])
+                    choices=["reference", "packed", "packed_lite",
+                             "packed_stem"])
     px.set_defaults(func=_cmd_export_checkpoint)
 
     pxt = sub.add_parser(

@@ -58,13 +58,23 @@ class ModelConfig:
     # for every arch (the graph is built from our own ops); only the
     # torch-module exporters require "reference" (they target the
     # reference's state_dict tree, which the packed graphs don't have).
+    # "packed_stem" is packed plus a cheap full-resolution stem: one k3
+    # conv at 8^3 to W/8 channels (+GN+relu) BEFORE space-to-channel, so
+    # the pack lands exactly on the trunk width W and the trunk stem conv
+    # shrinks to a pointwise mix — near-identical FLOPs to "packed"
+    # (~0.2 MFLOP/leaf 8^3 stem replaces ~1.3 MFLOP of trunk stem) while
+    # restoring the 8^3-resolution receptive field that the round-4
+    # quality ladder showed "packed" lacks on high-frequency narrow-band
+    # level-set surfaces (levelset p5 28.59 vs reference 34.16 at 10x
+    # data, benchmarks/arch10x_*_r4.json).
     encoder_arch: str = "reference"
 
     def __post_init__(self):
-        if self.encoder_arch not in ("reference", "packed", "packed_lite"):
+        if self.encoder_arch not in ("reference", "packed", "packed_lite",
+                                     "packed_stem"):
             raise ValueError(
                 f"unknown encoder_arch {self.encoder_arch!r} (expected "
-                "'reference', 'packed', or 'packed_lite')")
+                "'reference', 'packed', 'packed_lite', or 'packed_stem')")
 
     @property
     def variant(self) -> str:

@@ -44,8 +44,16 @@ def evaluate_codec(codec, leaves: np.ndarray, *, zero_atol: float = 0.0,
     nonzero_mse = float(err[~zero_mask].mean()) if (~zero_mask).any() else 0.0
 
     finite_psnr = per_block_psnr[np.isfinite(per_block_psnr)]
+    import jax
+
     return {
         "num_blocks": int(n),
+        # Provenance: TPU-bf16 evals read ~0.6-0.8 dB below CPU-f32 on
+        # identical artifacts (BASELINE.md round-4 note). Stamping the
+        # basis makes a mixed citation detectable — gates and reports
+        # assert/echo these fields.
+        "eval_backend": str(jax.default_backend()),
+        "compute_dtype": str(codec.ccfg.compute_dtype),
         "mse": float(per_block_mse.mean()),
         "psnr_mean": float(finite_psnr.mean()) if finite_psnr.size else float("inf"),
         "psnr_p5": float(np.percentile(finite_psnr, 5)) if finite_psnr.size else float("inf"),

@@ -313,6 +313,7 @@ class VqvdbWriter:
         f.write(
             np.asarray(metadata.latent_shape, dtype=np.uint16).tobytes()
         )
+        self._total_blocks_pos = f.tell()  # patched by abort_grid()
         f.write(struct.pack("<I", int(metadata.total_blocks)))
         if _framed(self.version):
             f.write(struct.pack("<B", self._codec_id))
@@ -397,6 +398,25 @@ class VqvdbWriter:
                 f"grid declared {self._declared_blocks} blocks but "
                 f"{self._blocks_written_in_grid} were written"
             )
+        self._grid_open = False
+
+    def abort_grid(self) -> None:
+        """Gracefully finalize the open grid at however many whole batches
+        were actually written: the grid header's declared block count is
+        patched in place, so the archive stays structurally valid and every
+        completed batch decodes. This is the interrupt path — the analog of
+        the reference's cook interrupter leaving a consistent partial
+        result (ref: src/Utils/Utils.hpp:174-209) — used by
+        VQCodec.compress(..., should_stop=...) and the CLI's SIGINT
+        handler. A no-op when no grid is open."""
+        if self._f is None or not self._grid_open:
+            return
+        f = self._f
+        if self._blocks_written_in_grid != self._declared_blocks:
+            pos = f.tell()
+            f.seek(self._total_blocks_pos)
+            f.write(struct.pack("<I", self._blocks_written_in_grid))
+            f.seek(pos)
         self._grid_open = False
 
     def close(self) -> None:

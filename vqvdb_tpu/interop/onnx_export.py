@@ -149,6 +149,9 @@ def _packed_encoder_sd(params: VQVAEParams) -> Dict:
 
     sd: Dict = {}
     enc = params.encoder
+    if "pre_conv" in enc:  # packed_stem: 8^3 stage before the pack
+        _conv(sd, "encoder.pre.0", enc["pre_conv"])
+        _gn(sd, "encoder.pre.1", enc["pre_gn"])
     _conv(sd, "encoder.stem.0", enc["stem_conv"])
     _gn(sd, "encoder.stem.1", enc["stem_gn"])
     _rb(sd, "encoder.res_stack.0", enc["rb"])
@@ -172,10 +175,19 @@ def _encoder_body_packed(b: _Builder, sd: Dict, cfg: ModelConfig,
     from vqvdb_tpu.models.vqvae import packed_encoder_width
 
     w = packed_encoder_width(cfg)
-    h = b.op("Reshape", [x, b.shape_const([0, c, _L, 2, _L, 2, _L, 2])])
+    h = x
+    if cfg.encoder_arch == "packed_stem":
+        # 8^3 stem (conv k3 C -> W/8, GN, relu) before the pack; the pack
+        # then lands on W channels and the trunk stem is pointwise (pad 0).
+        s = w // 8
+        h = b.conv(h, sd, "encoder.pre.0", pad=1)
+        h = b.op("Relu", [b.group_norm(h, sd, "encoder.pre.1", s // 2, s, 8)])
+        c = s
+    h = b.op("Reshape", [h, b.shape_const([0, c, _L, 2, _L, 2, _L, 2])])
     h = b.op("Transpose", [h], perm=[0, 1, 3, 5, 7, 2, 4, 6])
     h = b.op("Reshape", [h, b.shape_const([0, c * 8] + [_L] * 3)])
-    h = b.conv(h, sd, "encoder.stem.0", pad=1)
+    stem_pad = 0 if cfg.encoder_arch == "packed_stem" else 1
+    h = b.conv(h, sd, "encoder.stem.0", pad=stem_pad)
     h = b.op("Relu", [b.group_norm(h, sd, "encoder.stem.1", 8, w, _L)])
     h = b.res_block(h, sd, "encoder.res_stack.0", w, _L)
     h = b.attention(h, sd, "encoder.attn", w)

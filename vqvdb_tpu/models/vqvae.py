@@ -134,22 +134,40 @@ def _init_encoder_packed(key, cfg: ModelConfig, dtype) -> Params:
     all in conv/GEMM shapes the v5e decoder trunk already runs at 62% MFU.
     "packed_lite" makes the RB's closer conv pointwise (k1) — ~19 MFLOP —
     for the measured speed point past 2x the reference-arch encode.
+    "packed_stem" prepends one cheap 8^3 stage — conv k3 (C -> W/8) + GN +
+    relu — BEFORE the pack, so space-to-channel lands exactly on the trunk
+    width W and the trunk stem conv becomes pointwise (k1 W -> W). Total
+    FLOPs stay ~packed (the 8^3 stem is ~0.2 MFLOP/leaf scalar) but the
+    graph regains an 8^3-resolution receptive field: the round-4 ladder
+    showed plain "packed" loses the levelset tail at 10x data (p5 28.59 vs
+    reference 34.16) because 4^3-only convs treat each 2^3 sub-cell as
+    opaque channels — exactly the high-frequency narrow-band signal.
     Not reference graphs: the torch-module exporter rejects them (no
     reference module tree), but ONNX export works — the emitted
     encoder.onnx keeps the reference runtime's exact I/O contract
     (interop/onnx_export.py).
     """
     w = packed_encoder_width(cfg)
-    k = jax.random.split(key, 4)
+    k = jax.random.split(key, 6)
     kernel2 = 1 if cfg.encoder_arch == "packed_lite" else 3
-    return {
-        "stem_conv": blocks.init_conv3d(k[0], cfg.in_channels * 8, w, 3,
+    params: Params = {}
+    if cfg.encoder_arch == "packed_stem":
+        s = w // 8
+        params["pre_conv"] = blocks.init_conv3d(k[4], cfg.in_channels, s, 3,
+                                                dtype=dtype)
+        params["pre_gn"] = blocks.init_group_norm(s, dtype)
+        stem_in, stem_kernel = w, 1
+    else:
+        stem_in, stem_kernel = cfg.in_channels * 8, 3
+    params.update({
+        "stem_conv": blocks.init_conv3d(k[0], stem_in, w, stem_kernel,
                                         dtype=dtype),
         "stem_gn": blocks.init_group_norm(w, dtype),
         "rb": blocks.init_residual_block(k[1], w, dtype, kernel2=kernel2),
         "attn": blocks.init_channel_attention(k[2], w, dtype=dtype),
         "proj": blocks.init_conv3d(k[3], w, cfg.embedding_dim, 1, dtype=dtype),
-    }
+    })
+    return params
 
 
 def init_vqvae_params(key, cfg: ModelConfig, dtype=jnp.float32) -> VQVAEParams:
@@ -182,8 +200,14 @@ def _encoder_features_packed(params: Params, x: jnp.ndarray,
     See _init_encoder_packed for the graph rationale."""
     from vqvdb_tpu.ops.packed import space_to_channel
 
-    h = space_to_channel(x, 2)  # free reshape: (B,4,4,4, 8C)
-    h = blocks.conv3d(params["stem_conv"], h, padding=1)
+    h = x
+    if "pre_conv" in params:  # packed_stem: cheap 8^3 stage before the pack
+        h = blocks.conv3d(params["pre_conv"], h, padding=1)
+        s = params["pre_gn"]["scale"].shape[0]
+        h = jax.nn.relu(blocks.group_norm(params["pre_gn"], h, s // 2))
+    h = space_to_channel(h, 2)  # free reshape: (B,4,4,4, 8C)
+    ks = params["stem_conv"]["w"].shape[0]
+    h = blocks.conv3d(params["stem_conv"], h, padding=(ks - 1) // 2)
     h = jax.nn.relu(blocks.group_norm(params["stem_gn"], h, 8))
     h = blocks.residual_block(params["rb"], h)
     return blocks.channel_attention(params["attn"], h)

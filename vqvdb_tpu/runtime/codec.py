@@ -25,7 +25,7 @@ from __future__ import annotations
 import collections
 import time
 from pathlib import Path
-from typing import List, Optional, Sequence, Tuple, Union
+from typing import Callable, List, Optional, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -457,8 +457,17 @@ class VQCodec:
         compression: str = "zlib",
         residual: Optional[str] = None,
         residual_tol: Optional[float] = None,
+        should_stop: Optional[Callable[[], bool]] = None,
     ) -> dict:
         """Encode grids and stream them to a `.vqvdb` v3 file.
+
+        should_stop (checked between batches) requests a graceful abort:
+        every batch written so far is kept, the open grid's header is
+        patched to its actual block count (VqvdbWriter.abort_grid), later
+        grids are skipped, and the stats dict gains "aborted": True — the
+        archive stays structurally valid and decodable, mirroring the
+        reference's cook-interrupter semantics
+        (ref: src/Utils/Utils.hpp:174-209). The CLI wires SIGINT to this.
 
         compression selects the v5 payload codec (zlib / lzma / lz4;
         ignored for v3/v4): zlib for the smallest files, lz4 for
@@ -478,11 +487,15 @@ class VQCodec:
             grids = [grids]
         format_version = self._resolve_format(format_version, residual,
                                               residual_tol)
+        stop = should_stop if should_stop is not None else (lambda: False)
+        aborted = False
         t0 = time.perf_counter()
         total = 0
         with VqvdbWriter(out_path, version=format_version,
                          compression=compression) as w:
             for grid in grids:
+                if aborted:
+                    break
                 meta = self._grid_meta(grid.name, grid.num_leaves,
                                        grid.transform, grid.channels,
                                        residual)
@@ -492,6 +505,9 @@ class VQCodec:
 
                     for dev_i, dev_r, s, n in self._pipelined_residual(
                             grid.leaves):
+                        if stop():
+                            aborted = True
+                            break
                         idx = self._host_rows(dev_i, n)
                         rec = self._host_rows(dev_r, n)
                         err = grid.leaves[s : s + n] - rec
@@ -502,16 +518,21 @@ class VQCodec:
                         if progress:
                             print(f"[compress] {grid.name}: "
                                   f"{s + n}/{grid.num_leaves}")
-                    w.end_grid()
+                    w.abort_grid() if aborted else w.end_grid()
                     continue
                 for dev, s, n in self._pipelined(self._encode_jit, grid.leaves):
+                    if stop():
+                        aborted = True
+                        break
                     idx = self._host_rows(dev, n)
                     w.write_batch(idx, grid.origins[s : s + n])
                     total += n
                     if progress:
                         print(f"[compress] {grid.name}: {s + n}/{grid.num_leaves}")
-                w.end_grid()
-        return self._compress_stats(total, t0, out_path)
+                w.abort_grid() if aborted else w.end_grid()
+        stats = self._compress_stats(total, t0, out_path)
+        stats["aborted"] = aborted
+        return stats
 
     def compress_stream(
         self,
@@ -523,6 +544,7 @@ class VQCodec:
         compression: str = "zlib",
         residual: Optional[str] = None,
         residual_tol: Optional[float] = None,
+        should_stop: Optional[Callable[[], bool]] = None,
     ) -> dict:
         """`compress`, but from lazily-read leaf streams at O(batch) host
         memory — the ingestion side of the bounded-memory story (`.vdb`
@@ -534,13 +556,15 @@ class VQCodec:
         `streams` is one object or a sequence of objects exposing
         .name, .transform, .num_leaves, .channels, .origins [N,3] and
         .leaf_batches(batch_size) -> iterator of [n<=bs,8,8,8,C] f32.
-        Same container/options semantics as `compress`; a streamed encode
-        of the same leaves produces byte-identical output
-        (tests/test_streaming_vdb.py)."""
+        Same container/options semantics as `compress` (including
+        should_stop graceful abort); a streamed encode of the same leaves
+        produces byte-identical output (tests/test_streaming_vdb.py)."""
         if not isinstance(streams, (list, tuple)):
             streams = [streams]
         format_version = self._resolve_format(format_version, residual,
                                               residual_tol)
+        stop = should_stop if should_stop is not None else (lambda: False)
+        aborted = False
         bs = self.ccfg.batch_size
         t0 = time.perf_counter()
         total = 0
@@ -565,6 +589,8 @@ class VQCodec:
         with VqvdbWriter(out_path, version=format_version,
                          compression=compression) as w:
             for stream in streams:
+                if aborted:
+                    break
                 meta = self._grid_meta(
                     stream.name, stream.num_leaves,
                     np.asarray(stream.transform, np.float32),
@@ -592,6 +618,9 @@ class VQCodec:
                         print(f"[compress] {stream.name}: {total} leaves")
 
                 for chunk in _rechunk(stream.leaf_batches(bs)):
+                    if stop():
+                        aborted = True
+                        break
                     n = chunk.shape[0]
                     org = stream.origins[cursor : cursor + n]
                     cursor += n
@@ -613,12 +642,17 @@ class VQCodec:
                         _flush(pending.popleft())
                 while pending:
                     _flush(pending.popleft())
+                if aborted:
+                    w.abort_grid()
+                    continue
                 if cursor != stream.num_leaves:
                     raise ValueError(
                         f"stream '{stream.name}' yielded {cursor} leaves, "
                         f"declared {stream.num_leaves}")
                 w.end_grid()
-        return self._compress_stats(total, t0, out_path)
+        stats = self._compress_stats(total, t0, out_path)
+        stats["aborted"] = aborted
+        return stats
 
     def decode_stream(self, in_path: Union[str, Path], *,
                       grids=None, bbox=None):

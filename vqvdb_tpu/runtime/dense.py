@@ -19,6 +19,7 @@ want a *dense* volume on device (ML pipelines, simulators, renderers):
                     reduced on device (only nB floats come back to pick the
                     active set — mirrors OpenVDB sparsification semantics,
                     LeafGrid.from_dense), then one gather+encode scan.
+                    Mesh-capable like decode (x-slab sharding in reverse).
 
 Together these close the loop for on-device pipelines: a simulation state
 living in HBM can be compressed to indices and written to .vqvdb without
@@ -60,14 +61,6 @@ from vqvdb_tpu.utils.errors import VqvdbError
 
 Array = jax.Array
 PathLike = Union[str, Path]
-
-
-def _check_single_device(codec) -> None:
-    if codec.mesh is not None:
-        raise ValueError(
-            "dense device *encode* is single-device today; build the codec "
-            "without a mesh (decode_to_dense / decode_file_to_dense are "
-            "mesh-capable)")
 
 
 def _block_plan(origins: np.ndarray, lo: Optional[np.ndarray] = None,
@@ -276,6 +269,54 @@ def _dense_encode_fns(codec):
     return fns
 
 
+def _mesh_dense_encode_fns(codec):
+    """Mesh variant of _dense_encode_fns: the dense volume is sharded by
+    x-voxel slabs over the 1-D data mesh (the decode path's partition, in
+    reverse). Activity reduces shard-locally; each device then gathers and
+    encodes ONLY its slab's active blocks — no cross-chip traffic in
+    either step, bit-identical to the single-device path (same per-leaf
+    math on the same values)."""
+    fns = getattr(codec, "_mesh_dense_encode_jit", None)
+    if fns is not None:
+        return fns
+
+    from jax.sharding import PartitionSpec as P
+
+    from vqvdb_tpu.parallel.mesh import DATA_AXIS, _shard_map
+
+    mesh = codec.mesh
+    c = codec.mcfg.in_channels
+    ld = LEAF_DIM
+
+    def activity(dense, background, tolerance):
+        def local(d, bg, tol):
+            rows = _to_blocks(d)
+            return jnp.max(jnp.abs(rows - bg), axis=1) > tol
+
+        return _shard_map(local, mesh, in_specs=(P(DATA_AXIS), P(), P()),
+                          out_specs=P(DATA_AXIS))(
+            dense, background, tolerance)
+
+    def encode(params, dense, bid_steps):
+        def local(p, d, bid_s):
+            rows = _to_blocks(d)
+
+            def body(_, bid_b):
+                leaves = rows[bid_b].reshape(bid_b.shape[0], ld, ld, ld, c)
+                return None, codec._encode_step(p, leaves)
+
+            _, idx = jax.lax.scan(body, None, bid_s[0])
+            return idx.reshape((1, -1) + codec.mcfg.index_shape)
+
+        return _shard_map(local, mesh,
+                          in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS)),
+                          out_specs=P(DATA_AXIS))(params, dense, bid_steps)
+
+    fns = (jax.jit(activity), jax.jit(encode))
+    codec._mesh_dense_encode_jit = fns
+    return fns
+
+
 # ---------------------------------------------------------------------------
 # public API
 # ---------------------------------------------------------------------------
@@ -410,8 +451,13 @@ def encode_from_dense(
 
     Returns (indices [N,4,4,4], origins [N,3] int32) as host arrays,
     ready for `VqvdbWriter.write_batch` / `LeafGrid` construction.
+
+    With a mesh codec the volume is sharded by x-voxel slabs (the decode
+    partition in reverse): activity reduces shard-locally, every device
+    encodes only its slab's active blocks, and the result is bit-identical
+    to single-device (same per-leaf math, origin-major order preserved —
+    slabs are x-major). Requires a single-process mesh, like decode.
     """
-    _check_single_device(codec)
     dense = jnp.asarray(dense, jnp.float32)
     if dense.ndim == 3:
         dense = dense[..., None]
@@ -422,12 +468,64 @@ def encode_from_dense(
     ld = LEAF_DIM
     x, y, z, _ = dense.shape
     pads = [(-d) % ld for d in (x, y, z)]
+    bs = codec.ccfg.batch_size
+
+    if codec.mesh is not None:
+        if getattr(codec, "_multihost", False):
+            raise VqvdbError(
+                "dense encode builds host-global shard inputs and supports "
+                "single-process meshes only; in multi-host runs use the "
+                "file codec paths (which are multihost-aware) or a "
+                "process-local mesh")
+        n_dev = int(codec.mesh.devices.size)
+        nx_local = -(-(x + pads[0]) // ld // n_dev)
+        # Pad x so every device owns an equal slab of leaf blocks.
+        pads[0] = nx_local * n_dev * ld - x
     if any(pads):
         dense = jnp.pad(dense,
                         [(0, pads[0]), (0, pads[1]), (0, pads[2]), (0, 0)],
                         constant_values=background)
         x, y, z, _ = dense.shape
     bdims = (x // ld, y // ld, z // ld)
+
+    if codec.mesh is not None:
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        from vqvdb_tpu.parallel.mesh import DATA_AXIS
+
+        dense = jax.device_put(
+            dense, NamedSharding(codec.mesh, P(DATA_AXIS)))
+        activity_fn, encode_fn = _mesh_dense_encode_fns(codec)
+        act = np.asarray(activity_fn(dense, jnp.float32(background),
+                                     jnp.float32(tolerance)))
+        (flat,) = np.nonzero(act)
+        bi = np.stack(np.unravel_index(flat, bdims), axis=1)
+        origins = (bi.astype(np.int32) * ld
+                   + np.asarray(origin, np.int32)).astype(np.int32)
+        n = flat.shape[0]
+        if n == 0:
+            return (np.zeros((0,) + codec.mcfg.index_shape,
+                             np.dtype(codec.mcfg.index_dtype)), origins)
+        nx_local = bdims[0] // n_dev
+        n_local = nx_local * bdims[1] * bdims[2]
+        owner = bi[:, 0] // nx_local
+        local_flat = (flat - owner * n_local).astype(np.int32)
+        counts = np.bincount(owner, minlength=n_dev)
+        steps = max(1, -(-int(counts.max()) // bs))
+        # Padding rows gather local block 0 and are cropped per shard;
+        # x-major active order is owner-grouped, so per-shard concatenation
+        # preserves the single-device origin order exactly.
+        bid_dev = np.zeros((n_dev, steps * bs), np.int32)
+        for k in range(n_dev):
+            bid_dev[k, : int(counts[k])] = local_flat[owner == k]
+        idx = encode_fn(codec.params, dense,
+                        jnp.asarray(bid_dev.reshape(n_dev, steps, bs)))
+        idx = np.asarray(idx)
+        out = np.concatenate([idx[k, : int(counts[k])]
+                              for k in range(n_dev)])
+        return out, origins
+
     activity_fn, encode_fn = _dense_encode_fns(codec)
     act = np.asarray(activity_fn(dense, jnp.float32(background),
                                  jnp.float32(tolerance)))
@@ -440,7 +538,6 @@ def encode_from_dense(
         return (np.zeros((0,) + codec.mcfg.index_shape,
                          np.dtype(codec.mcfg.index_dtype)),
                 origins)
-    bs = codec.ccfg.batch_size
     # Padding rows gather block 0 (a real block) and are cropped after.
     bid_steps = _pad_steps(flat.astype(np.int32), bs, 0)
     idx = encode_fn(codec.params, dense, jnp.asarray(bid_steps))

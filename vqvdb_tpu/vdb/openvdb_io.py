@@ -1270,9 +1270,18 @@ class VdbLeafStream:
         """Yield [n<=batch_size, 8, 8, 8, C] f32 arrays covering every leaf
         (buffer leaves first, then 8-span tile leaves), in `origins` order.
         Only O(batch_size) leaf values are resident at once."""
+        import mmap as _mmap
+
         comps = self._comps
         cur = _Cursor(self._mm)
         cur.pos = self._buffer_pos
+        # Sequentially-touched mmap pages otherwise stay resident for the
+        # life of the map, so peak RSS would scale with file size even
+        # though heap is O(batch) (round-4 bounded-RSS failure). Drop
+        # consumed pages behind the cursor; they re-fault if re-read.
+        page = getattr(_mmap, "PAGESIZE", 4096)
+        can_drop = hasattr(self._mm, "madvise")
+        drop_from = self._buffer_pos - (self._buffer_pos % page)
         for s in range(0, self._n_buffers, batch_size):
             m = min(batch_size, self._n_buffers - s)
             out = np.empty((m, LEAF_DIM, LEAF_DIM, LEAF_DIM, comps),
@@ -1285,6 +1294,15 @@ class VdbLeafStream:
                     cur, LEAF_SIZE, bits, comps, self._half,
                     self._compression, self._bg_arr)
                 flat[i] = vals.reshape(LEAF_SIZE, comps)
+            if can_drop:
+                hi = cur.pos - (cur.pos % page)
+                if hi > drop_from:
+                    try:
+                        self._mm.madvise(_mmap.MADV_DONTNEED, drop_from,
+                                         hi - drop_from)
+                        drop_from = hi
+                    except (ValueError, OSError):
+                        can_drop = False
             yield out
         for s in range(0, self._tile_values.shape[0], batch_size):
             vals = self._tile_values[s : s + batch_size]
