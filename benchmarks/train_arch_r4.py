@@ -51,6 +51,10 @@ def main() -> None:
                     choices=["float32", "bfloat16"],
                     help="resident-pool dtype (bfloat16 halves HBM — "
                          "needed for reference-arch vec3 at the 10x pool)")
+    ap.add_argument("--pool-segments", type=int, default=1,
+                    help="epoch-sharded resident pool: each compiled span "
+                         "runs over 1/S of the pool (the big-pool worker "
+                         "crash workaround — TrainConfig.pool_segments)")
     args = ap.parse_args()
 
     import jax
@@ -65,6 +69,7 @@ def main() -> None:
     compute = "float32" if jax.default_backend() == "cpu" else "bfloat16"
     tcfg = TrainConfig(epochs=args.epochs, batch_size=2048, lr=1e-4,
                        compute_dtype=compute, pool_dtype=args.pool_dtype,
+                       pool_segments=args.pool_segments,
                        val_fraction=0.0, seed=0)
     out_dir = Path(args.out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)

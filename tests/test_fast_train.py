@@ -71,6 +71,34 @@ def test_train_on_device_learns(rng):
     assert int(state.step) == (n_train // 16) * TCFG.epochs
 
 
+def test_train_on_device_pool_segments(rng):
+    """pool_segments=2 (epoch-sharded resident pool — the big-pool worker
+    crash workaround): training still learns, spans rotate over disjoint
+    segments, and the step count reflects the per-segment epoch size."""
+    x, y, z = np.mgrid[0:8, 0:8, 0:8].astype(np.float32)
+    leaves = []
+    for i in range(128):
+        c = rng.random(3) * 8
+        r = np.sqrt(((x - c[0]) ** 2 + (y - c[1]) ** 2 + (z - c[2]) ** 2))
+        leaves.append(np.clip(1 - r / 4, 0, 1))
+    data = np.stack(leaves)[..., None]
+
+    tcfg = TrainConfig(epochs=4, batch_size=16, lr=2e-3,
+                       compute_dtype="float32", dead_code_interval=2,
+                       val_fraction=0.0, seed=3, pool_segments=2)
+    state, trace = train_on_device(data, MCFG, tcfg, log_fn=lambda *_: None)
+    assert trace.shape == (tcfg.epochs, 5)
+    assert trace[-1, 1] < trace[0, 1]  # recon_err decreases
+    seg = 128 // 2
+    assert int(state.step) == (seg // 16) * tcfg.epochs
+
+    with pytest.raises(ValueError, match="pool_segments"):
+        train_on_device(data, MCFG,
+                        TrainConfig(epochs=1, batch_size=64,
+                                    val_fraction=0.0, pool_segments=4),
+                        log_fn=lambda *_: None)
+
+
 def test_train_on_device_bf16_pool(rng):
     """pool_dtype=bfloat16 (half-HBM resident pool for memory-bound
     pools): trains, learns, and tracks the f32-pool run closely at this

@@ -56,6 +56,7 @@ def _cmd_train(args) -> int:
         lr=args.lr,
         compute_dtype=args.compute_dtype,
         pool_dtype=args.pool_dtype,
+        pool_segments=args.pool_segments,
         val_fraction=args.val_fraction,
         seed=args.seed,
     )
@@ -745,6 +746,12 @@ def main(argv=None) -> int:
                          "HBM footprint but bf16-rounds the recon target "
                          "— safe when the model's error floor is well "
                          "above bf16 rounding (e.g. vec3)")
+    pt.add_argument("--pool-segments", type=int, default=1,
+                    help="epoch-sharded resident pool (--device-resident "
+                         "only): each compiled span runs over 1/S of the "
+                         "pool, rotating per span — the workaround for "
+                         "the v5e worker crash on 8^3-stage graphs at "
+                         ">=4 GB pools (TrainConfig.pool_segments)")
     pt.add_argument("--val-fraction", type=float, default=0.2,
                     help="held-out fraction for per-epoch validation and "
                          "best-val selection (0 disables the split; on "

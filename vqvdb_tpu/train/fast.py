@@ -180,7 +180,13 @@ def train_on_device(
     split = np.random.default_rng(tcfg.seed).permutation(n_total)
     val_idx, train_idx = split[:n_val], split[n_val:]
     n = train_idx.shape[0]
-    steps_per_epoch = max(n // tcfg.batch_size, 1)
+    n_segs = max(1, int(tcfg.pool_segments))
+    n_run = n // n_segs if n_segs > 1 else n  # leaves per epoch pass
+    if n_segs > 1 and n_run < tcfg.batch_size:
+        raise ValueError(
+            f"pool_segments={n_segs} leaves segments of {n_run} leaves, "
+            f"below batch_size {tcfg.batch_size}")
+    steps_per_epoch = max(n_run // tcfg.batch_size, 1)
     total_steps = steps_per_epoch * tcfg.epochs
     opt = make_optimizer(tcfg, total_steps)
     state = init_state or make_train_state(
@@ -203,12 +209,19 @@ def train_on_device(
             best_meta = manager.read_best_metrics() or {}
             best_val = float(best_meta.get("val_loss", best_val))
 
-    run = make_device_epoch_runner(opt, mcfg, tcfg, n, mesh=mesh, n_val=n_val)
     # Resident-pool dtype (TrainConfig.pool_dtype): bfloat16 halves the
     # pool's HBM footprint at the cost of bf16-rounding the recon target —
     # see the TrainConfig field docs for when that is safe.
     pool_dt = jnp.dtype(tcfg.pool_dtype)
-    data = jnp.asarray(leaves[train_idx], dtype=pool_dt)
+    # Epoch-sharded pool (TrainConfig.pool_segments): each compiled span
+    # sees one 1/S segment; segments rotate per span. All segments stay
+    # device-resident — only the per-program operand shrinks (the v5e
+    # big-pool worker-crash workaround; TrainConfig docs).
+    segments = [jnp.asarray(
+        leaves[train_idx[i * n_run:(i + 1) * n_run]], dtype=pool_dt)
+        for i in range(n_segs)]
+    run = make_device_epoch_runner(opt, mcfg, tcfg, n_run, mesh=mesh,
+                                   n_val=n_val)
     val_data = jnp.asarray(leaves[val_idx], dtype=pool_dt)
     key = jax.random.key(tcfg.seed + 1)
     reset_key = jax.random.key(tcfg.seed + 2)
@@ -221,6 +234,7 @@ def train_on_device(
     traces = []
     while done < tcfg.epochs:
         span = min(tcfg.dead_code_interval, tcfg.epochs - done)
+        data = segments[(done // max(tcfg.dead_code_interval, 1)) % n_segs]
         key, sub = jax.random.split(key)
         state, trace = run(state, data, val_data, sub, span)
         traces.append(np.asarray(trace))
@@ -233,7 +247,7 @@ def train_on_device(
         if done < tcfg.epochs:
             # Dead-code reset from a probe batch's encoder outputs.
             reset_key, sub2 = jax.random.split(reset_key)
-            probe = data[: min(tcfg.batch_size, n)]
+            probe = data[: min(tcfg.batch_size, n_run)]
             z = encoder_apply(state.params.encoder,
                               probe.astype(jnp.dtype(tcfg.compute_dtype)), mcfg)
             flat_z = z.reshape(-1, mcfg.embedding_dim).astype(jnp.float32)

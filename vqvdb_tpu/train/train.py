@@ -76,6 +76,17 @@ class TrainConfig:
     # model's error floor is well above bf16 rounding (vec3 at ~36 dB),
     # wrong for 55+ dB scalar tiers. Keep float32 there.
     pool_dtype: str = "float32"
+    # Epoch-sharded resident pool (train/fast.py only): split the train
+    # pool into this many equal device-resident segments and run each
+    # compiled span (dead_code_interval epochs) over ONE segment, rotating
+    # per span. Every compiled program then touches a pool 1/S the size —
+    # the workaround for the v5e worker crash that kills single-program
+    # big-pool runs on 8^3-stage encoder graphs (reference-arch vec3 and
+    # scalar packed_stem at >=4 GB pools crash the worker; segmented runs
+    # train clean — see BASELINE.md round-5 bisect note). Costs nothing
+    # when 1 (default); with S>1 an "epoch" passes over one segment, so
+    # data exposure per epoch is 1/S but rotates to cover everything.
+    pool_segments: int = 1
     seed: int = 0
     log_every: int = 50
     checkpoint_every_epochs: int = 1
