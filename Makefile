@@ -2,7 +2,7 @@
 # collapses to this: the Python package needs no compilation; the native host
 # runtime is one shared library).
 
-.PHONY: all native test test-fast tsan bench clean
+.PHONY: all native test test-fast tsan hdk-syntax bench clean
 
 all: native
 
@@ -22,6 +22,15 @@ tsan:
 	g++ -fsanitize=thread -O1 -std=c++17 -pthread native/tsan_check.cpp \
 	    -o /tmp/vqvdb_tsan_check
 	TSAN_OPTIONS="halt_on_error=1" /tmp/vqvdb_tsan_check
+
+# Houdini SOP syntax gate: no HDK exists here, so the SOP translation
+# unit is type-checked against minimal stub headers (hdk/stubs/README.md)
+# — red on syntax/signature errors, no Houdini required. The real build
+# uses hdk/CMakeLists.txt against an installed HDK.
+hdk-syntax:
+	g++ -std=c++17 -fsyntax-only -Wall -Wextra -I hdk/stubs \
+	    hdk/SOP_VQVDB.cpp
+	@echo "hdk syntax: OK"
 
 bench: native
 	python bench.py
