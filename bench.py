@@ -50,10 +50,13 @@ import numpy as np
 #           + fused proj.score 64x256 (2.1M)                      ~= 32.2
 #   encode (packed_lite): RB closer pointwise                     ~= 18.9
 DECODE_MFLOP_PER_LEAF = 61.0
+#   encode (packed_stem): 8^3 stem k3 1->8 (0.22M) + pointwise trunk stem
+#           64->64 (0.52M) + RB64 (28.3M) + fused proj.score (2.1M) ~= 31.2
 ENCODE_MFLOP_PER_LEAF = {
     "reference": 30.0,
     "packed": 32.2,
     "packed_lite": 18.9,
+    "packed_stem": 31.2,
 }
 V5E_BF16_PEAK_TFLOPS = 197.0
 BASELINE_COMPILES = 3
@@ -211,6 +214,42 @@ def main(data_parallel: bool = False) -> None:
         extra["rvq2_encode_leaves_per_sec"] = round(_fenced_rate(
             crvq._encode_step, params_rvq, leaves, 128, perturb_leaves,
             consume_f), 1)
+
+        # Dense device paths (VERDICT r4 item 2): one dispatch per grid
+        # (relay-safe), full occupancy, scalar-readback fenced. Decode:
+        # R prebuilt index payloads (H2D included — that IS the path's
+        # host cost) dispatched back-to-back, clock stopped on a sum over
+        # every output. Encode: sequential calls (its activity-mask
+        # readback syncs per call by design).
+        from vqvdb_tpu.runtime.dense import decode_to_dense, encode_from_dense
+
+        bd = (48, 48, 48)
+        n_dense = bd[0] * bd[1] * bd[2]  # 110,592 leaves = 384^3 volume
+        org_d = (np.stack(np.unravel_index(np.arange(n_dense), bd), 1) * 8
+                 ).astype(np.int32)
+        idx_payloads = [rng.integers(0, K, (n_dense, 4, 4, 4)
+                                     ).astype(np.uint8) for _ in range(4)]
+        dcodec = VQCodec(params, mcfg, CodecConfig(batch_size=2048,
+                                                   compute_dtype="bfloat16"))
+        decode_to_dense(dcodec, idx_payloads[0], org_d)  # compile, untimed
+        t0 = time.perf_counter()
+        outs = [decode_to_dense(dcodec, p, org_d)[0] for p in idx_payloads]
+        fence = float(sum(jnp.sum(o.astype(jnp.float32)) for o in outs))
+        dt = time.perf_counter() - t0
+        assert np.isfinite(fence)
+        extra["dense_decode_leaves_per_sec"] = round(
+            len(idx_payloads) * n_dense / dt, 1)
+        dense0 = outs[0]
+
+        encode_from_dense(dcodec, dense0)  # compile, untimed
+        t0 = time.perf_counter()
+        reps = 3
+        for _ in range(reps):
+            di, _ = encode_from_dense(dcodec, dense0)
+        dt = time.perf_counter() - t0
+        assert di.shape[0] == n_dense
+        extra["dense_encode_leaves_per_sec"] = round(reps * n_dense / dt, 1)
+        del outs, dense0
 
     # Reference-shaped baseline: batch 64, f32, no Pallas, sequential;
     # median over fresh compilations (see module docstring).

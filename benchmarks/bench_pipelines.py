@@ -63,23 +63,43 @@ bs = 2048
 # The per-batch decode result a device would hand back; host-only mode
 # measures everything the HOST must still do per batch (file read, chunk
 # deinterleave, result-row materialization) with device compute removed —
-# the per-pipeline ceiling term of the DP_SCALING projection.
+# the per-pipeline ceiling term of the DP_SCALING projection. The clock
+# starts AFTER the first batch: lazy imports, dlopen of the native lib,
+# and allocator warmup all land there, and at bench-scale files they
+# would otherwise swamp the steady-state per-leaf rate the projection
+# needs (production scenes amortize them to nothing). The cold-start
+# seconds are reported separately.
 sim = np.random.default_rng(0).random((bs, 8, 8, 8, 1)).astype(np.float32)
-total = 0
+dst = None
+
+def one_pass():
+    global dst
+    total = 0
+    with VqvdbReader(path) as r:
+        while r.has_next_grid():
+            meta = r.next_grid_metadata()
+            # Long-lived pipelines REUSE the result buffer across grids /
+            # frames; a fresh np.empty per grid would re-pay ~0.3 s of
+            # page faults per 123 MB and report fault throughput, not
+            # pipeline throughput (round-5 finding).
+            if dst is None or dst.shape[0] < meta.total_blocks:
+                dst = np.empty((meta.total_blocks, 8, 8, 8, 1), np.float32)
+            got = 0
+            while r.has_next():
+                idx, origins = r.next_batch(bs)
+                n = idx.shape[0]
+                copy_into(dst[got : got + n], sim[:n])
+                got += n
+            total += got
+    return total
+
 t0 = time.perf_counter()
-with VqvdbReader(path) as r:
-    while r.has_next_grid():
-        meta = r.next_grid_metadata()
-        dst = np.empty((meta.total_blocks, 8, 8, 8, 1), np.float32)
-        got = 0
-        while r.has_next():
-            idx, origins = r.next_batch(bs)
-            n = idx.shape[0]
-            copy_into(dst[got : got + n], sim[:n])
-            got += n
-        total += got
+total = one_pass()                       # cold: faults + file-cache misses
+cold_s = time.perf_counter() - t0
+t0 = time.perf_counter()
+total3 = sum(one_pass() for _ in range(3))   # warm steady state
 dt = time.perf_counter() - t0
-open(out, "w").write(f"{total} {dt}")
+open(out, "w").write(f"{total3} {dt} {total / cold_s}")
 """
 
 
@@ -176,14 +196,18 @@ def main() -> None:
                 assert p.returncode == 0, out.decode()[-2000:]
             wall = time.perf_counter() - t0
             per = [open(tdp / f"r{i}.txt").read().split() for i in range(n)]
-            inner = [int(a) / float(b) for a, b in per]
-            rows.append({
+            inner = [int(t[0]) / float(t[1]) for t in per]
+            row = {
                 "pipelines": n,
                 "aggregate_leaves_per_s_incl_startup": round(
                     n * args.leaves / wall),
                 "per_pipeline_leaves_per_s": [round(r) for r in inner],
                 "aggregate_leaves_per_s": round(sum(inner)),
-            })
+            }
+            if len(per[0]) > 2:  # host-only: first (cold) pass rate
+                row["cold_pass_leaves_per_s"] = [round(float(t[2]))
+                                                 for t in per]
+            rows.append(row)
             print(json.dumps(rows[-1]), flush=True)
         doc["pipelines"] = rows
 
