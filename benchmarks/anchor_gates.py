@@ -1,11 +1,11 @@
-"""Re-anchor the trained-quality gates after an artifact swap (round 4).
+"""Re-anchor the trained-quality gates after an artifact swap (rounds 4-5).
 
 Runs the exact leading-seed evals the gates in tests/test_trained_quality.py
 use, against the CURRENTLY COMMITTED artifacts, and prints the measured
 anchors. Floors are then set by hand ~1.5-3 dB below these (retrain
 headroom) — this script only measures; it never edits tests.
 
-    VQVDB_PLATFORM=cpu python benchmarks/anchor_gates_r4.py
+    VQVDB_PLATFORM=cpu python benchmarks/anchor_gates.py
 """
 
 from __future__ import annotations
@@ -38,8 +38,9 @@ def main() -> None:
         ("scalar", models / "scalar.vqmodel",
          [("smoke", smoke_grid, (1000, 1001, 1002)),
           ("levelset", levelset_grid, (1000, 1001, 1002))]),
-        ("scalar_packed", models / "scalar_packed.vqmodel",
-         [("smoke", smoke_grid, (1000, 1001, 1002))]),
+        ("scalar_reference", models / "scalar_reference.vqmodel",
+         [("smoke", smoke_grid, (1000, 1001, 1002)),
+          ("levelset", levelset_grid, (1000, 1001, 1002))]),
         ("scalar_packed_lite", models / "scalar_packed_lite.vqmodel",
          [("smoke", smoke_grid, (1000, 1001, 1002))]),
         ("scalar_rvq2", models / "scalar_rvq2.vqmodel",
@@ -70,9 +71,9 @@ def main() -> None:
                    "psnr_p5": round(float(rep["psnr_p5"]), 2)}
             out[f"{name}/{fam}"] = row
             print(f"{name}/{fam}: {json.dumps(row)}", flush=True)
-    (ROOT / "benchmarks" / "anchors_r4.json").write_text(
+    (ROOT / "benchmarks" / "anchors_r5.json").write_text(
         json.dumps(out, indent=2))
-    print("wrote benchmarks/anchors_r4.json")
+    print("wrote benchmarks/anchors_r5.json")
 
 
 if __name__ == "__main__":

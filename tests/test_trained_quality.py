@@ -19,42 +19,70 @@ pytestmark = pytest.mark.skipif(not MODEL.exists(),
 
 def test_trained_model_quality():
     from vqvdb_tpu import api
-    from vqvdb_tpu.eval.metrics import codebook_report, evaluate_codec
+    from vqvdb_tpu.eval.metrics import evaluate_codec
     from vqvdb_tpu.train.synthetic import smoke_grid
 
     codec = api.make_codec(MODEL, batch_size=256, compute_dtype="float32")
     leaves = smoke_grid(64, seed=9999).leaves  # unseen volume
     rep = evaluate_codec(codec, leaves)
-    # The committed round-4 artifact (10x pools, arch10x_b_r4 lineage)
-    # scores 53.24 dB here (benchmarks/anchors_r4.json); a 50 dB floor
-    # leaves ~3 dB retrain headroom while catching kernel/numerics
-    # regressions well above eval noise (the eval is deterministic).
+    # Provenance gate: these anchors are CPU-f32 numbers; a TPU-bf16 eval
+    # reads ~0.6-0.8 dB lower on the same artifact (BASELINE.md) — the
+    # gate must never silently compare across bases.
+    assert rep["eval_backend"] == "cpu" and rep["compute_dtype"] == "float32"
+    # The committed round-5 flagship (packed arch, 3000 smoke + 3000
+    # levelset pools) scores 53.62 dB here (benchmarks/anchors_r5.json);
+    # a 50 dB floor leaves ~3.5 dB retrain headroom while catching
+    # kernel/numerics regressions well above eval noise (deterministic).
     assert rep["psnr_mean"] > 50.0, f"PSNR regressed: {rep['psnr_mean']:.2f} dB"
     assert rep["mse"] < 1e-4
+
+
+def test_trained_model_codebook_utilization():
+    """Mixed-distribution utilization gate (VERDICT r4 item 6). The
+    round-4 flagship silently regressed to 142/256 active and the old
+    `> 100` floor let it ship. Utilization must be judged on the TRAINING
+    distribution (smoke + levelset): per-family probes undercount because
+    codes specialize per family (the r5 flagship uses 127 codes on smoke,
+    129 others on levelset — 256/256 combined, perplexity 61)."""
+    from vqvdb_tpu import api
+    from vqvdb_tpu.eval.metrics import codebook_report, evaluate_codec
+    from vqvdb_tpu.train.synthetic import levelset_grid, smoke_grid
+
+    codec = api.make_codec(MODEL, batch_size=256, compute_dtype="float32")
+    leaves = np.concatenate(
+        [np.asarray(smoke_grid(96, seed=s).leaves, np.float32)
+         for s in (1000, 1001)]
+        + [np.asarray(levelset_grid(96, seed=s).leaves, np.float32)
+           for s in (1000, 1001)])
+    rep = evaluate_codec(codec, leaves)
     cb = codebook_report(rep["indices"], codec.mcfg.num_embeddings)
-    assert cb["active_codes"] > 100  # healthy codebook utilization
+    assert cb["active_codes"] >= 240, \
+        f"codebook utilization regressed: {cb['active_codes']}/256"
+    assert cb["perplexity"] > 40.0
 
 
-PACKED_MODEL = MODEL.parent / "scalar_packed.vqmodel"
+REFERENCE_MODEL = MODEL.parent / "scalar_reference.vqmodel"
 
-# The packed (TPU-co-designed) encoder speed tier, trained at the 10x
-# pools (benchmarks/arch10x_d_r4.json 50k-block judge: smoke 54.82,
-# levelset 41.42; leading-seed anchor 55.62 / p5 50.49,
-# benchmarks/anchors_r4.json). Floors leave ~3 dB retrain headroom; the
-# tier must
-# also stay within ~2 dB of the flagship on smoke — its selling point is
-# matching reference quality there at 1.5x encode throughput.
+# The reference-arch interop tier (torch/TorchScript export requires the
+# reference module tree): the round-4 10x flagship, kept as the committed
+# reference-arch artifact. Leading-seed anchors (anchors_r4.json): smoke
+# 55.54 / p5 49.88, levelset 43.19 / 35.17. Floors leave ~2 dB headroom.
 
 
-@pytest.mark.skipif(not PACKED_MODEL.exists(),
-                    reason="packed artifact not present")
-def test_packed_tier_smoke_quality():
-    from vqvdb_tpu.train.synthetic import smoke_grid
+@pytest.mark.skipif(not REFERENCE_MODEL.exists(),
+                    reason="reference-arch artifact not present")
+def test_reference_tier_quality():
+    from vqvdb_tpu.core.artifact import load_model
+    from vqvdb_tpu.train.synthetic import levelset_grid, smoke_grid
 
-    rep = _family_eval(smoke_grid, PACKED_MODEL, (1000, 1001, 1002))
-    assert rep["num_blocks"] > 900
-    assert rep["psnr_mean"] > 52.5, f"packed smoke mean {rep['psnr_mean']:.2f}"
-    assert rep["psnr_p5"] > 47.0, f"packed smoke p5 {rep['psnr_p5']:.2f}"
+    _, cfg = load_model(REFERENCE_MODEL)
+    assert cfg.encoder_arch == "reference"  # the tier's reason to exist
+    rep = _family_eval(smoke_grid, REFERENCE_MODEL, (1000, 1001, 1002))
+    assert rep["psnr_mean"] > 53.5, f"ref smoke mean {rep['psnr_mean']:.2f}"
+    assert rep["psnr_p5"] > 47.5, f"ref smoke p5 {rep['psnr_p5']:.2f}"
+    rep = _family_eval(levelset_grid, REFERENCE_MODEL, (1000, 1001, 1002))
+    assert rep["psnr_mean"] > 41.0, f"ref levelset mean {rep['psnr_mean']:.2f}"
+    assert rep["psnr_p5"] > 33.0, f"ref levelset p5 {rep['psnr_p5']:.2f}"
 
 
 PACKED_LITE_MODEL = MODEL.parent / "scalar_packed_lite.vqmodel"
@@ -79,17 +107,15 @@ def test_packed_lite_tier_smoke_quality():
 
 VEC3_MODEL = MODEL.parent / "vec3.vqmodel"
 
-# Family thresholds anchored to the round-4 10x-data artifacts
-# (benchmarks/anchors_r4.json leading-seed evals; 50k-block judge rows in
-# benchmarks/arch10x_*_r4.json). Each gate evaluates the leading seeds of
-# the same unseen pool, so the measured-here values sit on the 50k
-# distribution:
-#   smoke    999 blocks: mean 55.54 p5 49.88 (50k TPU-bf16: 54.76 / 48.90)
-#   levelset 1136 blocks: mean 43.19 p5 35.17 (50k TPU-bf16: 42.79 / 34.16)
+# Family thresholds anchored to the committed artifacts (round-5 flagship:
+# packed arch at 3000 smoke + 3000 levelset pools; leading-seed evals in
+# benchmarks/anchors_r5.json, 50k-block judge row in
+# benchmarks/arch_r5_packed_rebal.json). Leading-seed anchors:
+#   smoke    999 blocks: mean 55.75 p5 50.80 (50k TPU-bf16: 55.04 / 49.31)
+#   levelset 1136 blocks: mean 44.30 p5 36.35 (50k TPU-bf16: 43.71 / 35.57)
 #   vec3     387 blocks: mean 37.81 p5 28.24 (50k TPU-bf16: 36.17 / 27.31)
 # (These gates run on CPU, where bf16 computes at ~f32 numerics — hence
-# the ~0.8 dB offset vs the TPU ladder rows; benchmarks/eval_r4.json has
-# the CPU 50k equivalents: 55.56 / 43.01 / 36.16.)
+# the ~0.7 dB offset vs the TPU ladder rows.)
 # Floors leave ~2 dB retrain headroom while tripping on kernel or
 # numerics regressions well above noise (run-to-run spread is 0 — the
 # eval is deterministic; the margin covers future retrains only).
@@ -110,8 +136,8 @@ def test_scalar_smoke_quality_50k_anchored():
 
     rep = _family_eval(smoke_grid, MODEL, (1000, 1001, 1002))
     assert rep["num_blocks"] > 900
-    assert rep["psnr_mean"] > 53.5, f"smoke mean {rep['psnr_mean']:.2f} dB"
-    assert rep["psnr_p5"] > 47.5, f"smoke p5 {rep['psnr_p5']:.2f} dB"
+    assert rep["psnr_mean"] > 53.7, f"smoke mean {rep['psnr_mean']:.2f} dB"
+    assert rep["psnr_p5"] > 48.5, f"smoke p5 {rep['psnr_p5']:.2f} dB"
 
 
 def test_scalar_levelset_quality_50k_anchored():
@@ -119,8 +145,8 @@ def test_scalar_levelset_quality_50k_anchored():
 
     rep = _family_eval(levelset_grid, MODEL, (1000, 1001, 1002))
     assert rep["num_blocks"] > 1000
-    assert rep["psnr_mean"] > 41.0, f"levelset mean {rep['psnr_mean']:.2f} dB"
-    assert rep["psnr_p5"] > 33.0, f"levelset p5 {rep['psnr_p5']:.2f} dB"
+    assert rep["psnr_mean"] > 42.3, f"levelset mean {rep['psnr_mean']:.2f} dB"
+    assert rep["psnr_p5"] > 34.3, f"levelset p5 {rep['psnr_p5']:.2f} dB"
 
 
 RVQ2_MODEL = MODEL.parent / "scalar_rvq2.vqmodel"
