@@ -249,6 +249,73 @@ def main(data_parallel: bool = False) -> None:
         dt = time.perf_counter() - t0
         assert di.shape[0] == n_dense
         extra["dense_encode_leaves_per_sec"] = round(reps * n_dense / dt, 1)
+
+        # Device-only dense rates (the e2e rows above include per-dispatch
+        # transport — through the HTTP relay that term dominates: ~7 MB
+        # H2D + round trips per grid. A PCIe-attached host pays ~1 ms for
+        # the same H2D, so its e2e approaches the device-program rate
+        # measured here with the in-graph repeat + scalar-fence protocol).
+        from vqvdb_tpu.runtime.dense import (_pad_steps, _scan_scatter,
+                                             _to_blocks)
+
+        bs_d = dcodec.ccfg.batch_size
+        idx_steps = jnp.asarray(_pad_steps(idx_payloads[0], bs_d, 0))
+        bid_steps = jnp.asarray(_pad_steps(
+            np.arange(n_dense, dtype=np.int32), bs_d, n_dense))
+        row = 512 * mcfg.in_channels
+
+        @functools.partial(jax.jit, static_argnames=("n",))
+        def dense_dec_loop(params, idx_s, bid_s, n):
+            def body(i, carry):
+                idx_s, acc = carry
+                buf = jnp.zeros((n_dense + 1, row), jnp.float32)
+                buf = _scan_scatter(dcodec, buf, idx_s, bid_s, None, None,
+                                    params, None)
+                nxt = ((idx_s.astype(jnp.int32) + 1) % K).astype(idx_s.dtype)
+                return nxt, acc + jnp.sum(buf)
+
+            _, acc = jax.lax.fori_loop(0, n, body, (idx_s, jnp.float32(0.0)))
+            return acc
+
+        float(dense_dec_loop(params, idx_steps, bid_steps, 1))  # compile
+
+        def timed_dense(fn, args, n):
+            t0 = time.perf_counter()
+            float(fn(*args, n))
+            return time.perf_counter() - t0
+
+        deltas = sorted(
+            (timed_dense(dense_dec_loop, (params, idx_steps, bid_steps), 8)
+             - timed_dense(dense_dec_loop, (params, idx_steps, bid_steps), 2))
+            / 6 for _ in range(3))
+        extra["dense_decode_device_leaves_per_sec"] = round(
+            n_dense / max(deltas[1], 1e-9), 1)
+
+        @functools.partial(jax.jit, static_argnames=("n",))
+        def dense_enc_loop(params, dense, bid_s, n):
+            def body(i, carry):
+                dense, acc = carry
+                rows = _to_blocks(dense)
+
+                def step(_, bid_b):
+                    leaves = rows[bid_b].reshape(
+                        bid_b.shape[0], 8, 8, 8, mcfg.in_channels)
+                    return None, dcodec._encode_step(params, leaves)
+
+                _, di = jax.lax.scan(step, None, bid_s)
+                nxt = jnp.abs(dense * jnp.float32(0.999) + jnp.float32(1e-4))
+                return nxt, acc + jnp.sum(di.astype(jnp.float32))
+
+            _, acc = jax.lax.fori_loop(0, n, body, (dense, jnp.float32(0.0)))
+            return acc
+
+        float(dense_enc_loop(params, dense0, bid_steps, 1))  # compile
+        deltas = sorted(
+            (timed_dense(dense_enc_loop, (params, dense0, bid_steps), 8)
+             - timed_dense(dense_enc_loop, (params, dense0, bid_steps), 2))
+            / 6 for _ in range(3))
+        extra["dense_encode_device_leaves_per_sec"] = round(
+            n_dense / max(deltas[1], 1e-9), 1)
         del outs, dense0
 
     # Reference-shaped baseline: batch 64, f32, no Pallas, sequential;

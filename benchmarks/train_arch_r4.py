@@ -100,6 +100,11 @@ def main() -> None:
         "vec3_rvq2_packed": (ModelConfig(in_channels=3,
                                          encoder_arch="packed",
                                          num_quantizers=2), "vec3"),
+        # Round-5: the recommended quality tier moves onto the
+        # TPU-co-designed encoder — same packed+rebalanced-pool recipe
+        # that flipped the scalar flagship (arch_r5_packed_rebal.json).
+        "scalar_rvq2_packed": (ModelConfig(encoder_arch="packed",
+                                           num_quantizers=2), "scalar"),
     }
     if args.only:
         jobs = {k: v for k, v in jobs.items() if k in args.only}
