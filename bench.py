@@ -129,13 +129,12 @@ def main(data_parallel: bool = False) -> None:
     # rows in benchmarks/encoder_v2_ab_r4.json.
     from pathlib import Path
 
-    from vqvdb_tpu.core.artifact import load_model
+    from vqvdb_tpu.core.artifact import load_model_config
 
     flag_path = Path(__file__).parent / "models" / "scalar.vqmodel"
     enc_arch = "reference"
     if flag_path.exists():
-        _, flag_cfg = load_model(flag_path)
-        enc_arch = flag_cfg.encoder_arch
+        enc_arch = load_model_config(flag_path).encoder_arch
     mcfg_enc = ModelConfig(encoder_arch=enc_arch)
     params_enc = (params if enc_arch == "reference"
                   else init_vqvae_params(jax.random.key(0), mcfg_enc))
@@ -181,8 +180,7 @@ def main(data_parallel: bool = False) -> None:
     vec3_path = Path(__file__).parent / "models" / "vec3.vqmodel"
     v3_arch = "reference"
     if vec3_path.exists():
-        _, v3_cfg = load_model(vec3_path)
-        v3_arch = v3_cfg.encoder_arch
+        v3_arch = load_model_config(vec3_path).encoder_arch
     extra = {}
     if on_tpu:
         mcfg_v3 = ModelConfig(in_channels=3, encoder_arch=v3_arch)
@@ -255,8 +253,8 @@ def main(data_parallel: bool = False) -> None:
         # H2D + round trips per grid. A PCIe-attached host pays ~1 ms for
         # the same H2D, so its e2e approaches the device-program rate
         # measured here with the in-graph repeat + scalar-fence protocol).
-        from vqvdb_tpu.runtime.dense import (_pad_steps, _scan_scatter,
-                                             _to_blocks)
+        from vqvdb_tpu.runtime.dense import (_blocks_to_dense, _pad_steps,
+                                             _scan_scatter, _to_blocks)
 
         bs_d = dcodec.ccfg.batch_size
         idx_steps = jnp.asarray(_pad_steps(idx_payloads[0], bs_d, 0))
@@ -271,8 +269,14 @@ def main(data_parallel: bool = False) -> None:
                 buf = jnp.zeros((n_dense + 1, row), jnp.float32)
                 buf = _scan_scatter(dcodec, buf, idx_s, bid_s, None, None,
                                     params, None)
+                # The shipped program ends in the voxel-order transpose
+                # (_dense_decode_fn) — include its HBM traffic. The barrier
+                # forces the transposed volume to materialize (a plain sum
+                # is permutation-invariant and XLA would drop the transpose).
+                dense = jax.lax.optimization_barrier(_blocks_to_dense(
+                    buf, n_dense, bd, mcfg.in_channels))
                 nxt = ((idx_s.astype(jnp.int32) + 1) % K).astype(idx_s.dtype)
-                return nxt, acc + jnp.sum(buf)
+                return nxt, acc + jnp.sum(buf) + dense[0, 0, 0, 0]
 
             _, acc = jax.lax.fori_loop(0, n, body, (idx_s, jnp.float32(0.0)))
             return acc
@@ -296,6 +300,12 @@ def main(data_parallel: bool = False) -> None:
             def body(i, carry):
                 dense, acc = carry
                 rows = _to_blocks(dense)
+                # The shipped path runs the activity reduction before the
+                # gather+encode program (_dense_encode_fns) — include it.
+                # (The two-dispatch split's duplicate _to_blocks is not
+                # modeled; it is a reshape XLA fuses into each consumer.)
+                act = jnp.max(jnp.abs(rows - jnp.float32(0.0)),
+                              axis=1) > jnp.float32(0.0)
 
                 def step(_, bid_b):
                     leaves = rows[bid_b].reshape(
@@ -304,7 +314,8 @@ def main(data_parallel: bool = False) -> None:
 
                 _, di = jax.lax.scan(step, None, bid_s)
                 nxt = jnp.abs(dense * jnp.float32(0.999) + jnp.float32(1e-4))
-                return nxt, acc + jnp.sum(di.astype(jnp.float32))
+                return nxt, (acc + jnp.sum(di.astype(jnp.float32))
+                             + jnp.sum(act.astype(jnp.float32)))
 
             _, acc = jax.lax.fori_loop(0, n, body, (dense, jnp.float32(0.0)))
             return acc

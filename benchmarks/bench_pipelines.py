@@ -197,10 +197,16 @@ def main() -> None:
             wall = time.perf_counter() - t0
             per = [open(tdp / f"r{i}.txt").read().split() for i in range(n)]
             inner = [int(t[0]) / float(t[1]) for t in per]
+            # Leaves actually processed inside `wall`: the host-only worker
+            # runs 1 cold + 3 warm passes (t[0] counts the warm ones), the
+            # full worker one pass — count them, or the incl-startup column
+            # deflates by the pass count.
+            done = [int(t[0]) + (args.leaves if len(t) > 2 else 0)
+                    for t in per]
             row = {
                 "pipelines": n,
                 "aggregate_leaves_per_s_incl_startup": round(
-                    n * args.leaves / wall),
+                    sum(done) / wall),
                 "per_pipeline_leaves_per_s": [round(r) for r in inner],
                 "aggregate_leaves_per_s": round(sum(inner)),
             }

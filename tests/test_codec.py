@@ -106,6 +106,28 @@ def test_model_artifact_roundtrip(tmp_path):
     np.testing.assert_array_equal(c1.encode_leaves(leaves), c2.encode_leaves(leaves))
 
 
+def test_load_model_config_only(tmp_path):
+    """load_model_config reads the ModelConfig without touching the params
+    blob (bench.py/__graft_entry__ sniff encoder_arch this way)."""
+    from vqvdb_tpu.core.artifact import load_model_config
+    from vqvdb_tpu.utils.errors import ArtifactError
+
+    cfg = ModelConfig(encoder_arch="packed")
+    params = init_vqvae_params(jax.random.key(7), cfg)
+    p = tmp_path / "m.vqmodel"
+    save_model(p, params, cfg)
+    assert load_model_config(p) == cfg
+
+    # Works even when the params blob is truncated — it never reads it.
+    data = p.read_bytes()
+    (tmp_path / "trunc.vqmodel").write_bytes(data[: len(data) // 2])
+    assert load_model_config(tmp_path / "trunc.vqmodel") == cfg
+
+    (tmp_path / "bad.bin").write_bytes(b"NOTMODEL" + b"\0" * 64)
+    with pytest.raises(ArtifactError):
+        load_model_config(tmp_path / "bad.bin")
+
+
 def test_api_surface(tmp_path, rng):
     """SOP-equivalent surface: model artifact path in, files in/out,
     name filter."""

@@ -255,3 +255,25 @@ def test_device_resident_mesh_matches_single_device():
                     jax.tree_util.tree_leaves(sN.params)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-3, atol=1e-5)
+
+
+def test_pool_segments_coverage_warning_and_tail(rng):
+    """Remainder leaves are covered by overlapping segment starts, and the
+    trainer warns when epochs cannot rotate through every segment."""
+    # 130 leaves, 3 segments: n_run=43, remainder 1 — the last segment
+    # starts at n - n_run, so the tail leaf is trained on.
+    data = rng.random((130, 8, 8, 8, 1), dtype=np.float32)
+    msgs = []
+    tcfg = TrainConfig(epochs=2, batch_size=8, lr=2e-3,
+                       compute_dtype="float32", dead_code_interval=2,
+                       val_fraction=0.0, seed=3, pool_segments=3)
+    train_on_device(data, MCFG, tcfg, log_fn=msgs.append)
+    assert any("WARNING" in m and "pool_segments=3" in m for m in msgs)
+
+    # Enough epochs to rotate: no warning.
+    msgs2 = []
+    tcfg2 = TrainConfig(epochs=6, batch_size=8, lr=2e-3,
+                        compute_dtype="float32", dead_code_interval=2,
+                        val_fraction=0.0, seed=3, pool_segments=3)
+    train_on_device(data, MCFG, tcfg2, log_fn=msgs2.append)
+    assert not any("WARNING" in m for m in msgs2)

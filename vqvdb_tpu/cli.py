@@ -179,7 +179,13 @@ class _GracefulInterrupt:
     def __exit__(self, *exc):
         import signal
 
-        signal.signal(signal.SIGINT, self._prev)
+        # signal.getsignal/signal.signal report None for handlers installed
+        # from C; None is not restorable (signal.signal rejects it) — leave
+        # the default in place rather than crash after a successful encode.
+        if self._prev is None:
+            signal.signal(signal.SIGINT, signal.SIG_DFL)
+        else:
+            signal.signal(signal.SIGINT, self._prev)
 
     def __call__(self) -> bool:
         return self.stopped

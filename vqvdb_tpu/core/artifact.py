@@ -45,6 +45,17 @@ def save_model(path: Union[str, Path], params: VQVAEParams, cfg: ModelConfig) ->
         f.write(params_bytes)
 
 
+def load_model_config(path: Union[str, Path]) -> ModelConfig:
+    """Read just the ModelConfig block (skips the params blob entirely —
+    cheap way to sniff e.g. encoder_arch off a multi-MB artifact)."""
+    with open(path, "rb") as f:
+        magic = f.read(len(MAGIC))
+        if magic != MAGIC:
+            raise ArtifactError(f"not a vqvdb_tpu model artifact: {path}")
+        (cfg_len,) = struct.unpack("<I", f.read(4))
+        return ModelConfig(**json.loads(f.read(cfg_len).decode("utf-8")))
+
+
 def load_model(path: Union[str, Path]) -> Tuple[VQVAEParams, ModelConfig]:
     with open(path, "rb") as f:
         magic = f.read(len(MAGIC))

@@ -216,10 +216,21 @@ def train_on_device(
     # Epoch-sharded pool (TrainConfig.pool_segments): each compiled span
     # sees one 1/S segment; segments rotate per span. All segments stay
     # device-resident — only the per-program operand shrinks (the v5e
-    # big-pool worker-crash workaround; TrainConfig docs).
+    # big-pool worker-crash workaround; TrainConfig docs). Segment starts
+    # are spread evenly over [0, n - n_run] so the n % n_segs remainder
+    # leaves are covered too (adjacent segments overlap slightly instead
+    # of dropping the tail — all programs keep the same operand shape).
+    n_spans = -(-tcfg.epochs // max(tcfg.dead_code_interval, 1))
+    if n_segs > 1 and n_spans < n_segs:
+        log_fn(f"[fast-train] WARNING: epochs={tcfg.epochs} gives "
+               f"{n_spans} compiled span(s) but pool_segments={n_segs}; "
+               f"segments {n_spans}..{n_segs - 1} will never be trained "
+               f"on. Raise epochs or lower pool_segments.")
+    seg_starts = [(i * (n - n_run)) // (n_segs - 1) if n_segs > 1 else 0
+                  for i in range(n_segs)]
     segments = [jnp.asarray(
-        leaves[train_idx[i * n_run:(i + 1) * n_run]], dtype=pool_dt)
-        for i in range(n_segs)]
+        leaves[train_idx[s:s + n_run]], dtype=pool_dt)
+        for s in seg_starts]
     run = make_device_epoch_runner(opt, mcfg, tcfg, n_run, mesh=mesh,
                                    n_val=n_val)
     val_data = jnp.asarray(leaves[val_idx], dtype=pool_dt)

@@ -85,7 +85,9 @@ class TrainConfig:
     # scalar packed_stem at >=4 GB pools crash the worker; segmented runs
     # train clean — see BASELINE.md round-5 bisect note). Costs nothing
     # when 1 (default); with S>1 an "epoch" passes over one segment, so
-    # data exposure per epoch is 1/S but rotates to cover everything.
+    # data exposure per epoch is 1/S; rotation covers every segment only
+    # when epochs >= S * dead_code_interval (the trainer warns otherwise).
+    # Remainder leaves (n % S) are covered by slight segment overlap.
     pool_segments: int = 1
     seed: int = 0
     log_every: int = 50

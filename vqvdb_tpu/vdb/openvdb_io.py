@@ -1280,7 +1280,8 @@ class VdbLeafStream:
         # though heap is O(batch) (round-4 bounded-RSS failure). Drop
         # consumed pages behind the cursor; they re-fault if re-read.
         page = getattr(_mmap, "PAGESIZE", 4096)
-        can_drop = hasattr(self._mm, "madvise")
+        can_drop = (hasattr(self._mm, "madvise")
+                    and hasattr(_mmap, "MADV_DONTNEED"))
         drop_from = self._buffer_pos - (self._buffer_pos % page)
         for s in range(0, self._n_buffers, batch_size):
             m = min(batch_size, self._n_buffers - s)
