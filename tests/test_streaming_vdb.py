@@ -144,15 +144,25 @@ from vqvdb_tpu.core.config import CodecConfig, ModelConfig
 from vqvdb_tpu.models import init_vqvae_params
 from vqvdb_tpu.runtime.codec import VQCodec
 
-vdb, out = sys.argv[1], sys.argv[2]
+small_vdb, big_vdb, out_dir = sys.argv[1], sys.argv[2], sys.argv[3]
 from vqvdb_tpu.vdb.openvdb_io import open_vdb_leaf_streams
 mcfg = ModelConfig()
 params = init_vqvae_params(jax.random.key(0), mcfg)
 codec = VQCodec(params, mcfg,
                 CodecConfig(batch_size=256, compute_dtype="float32"))
-streams = open_vdb_leaf_streams(vdb)
-codec.compress_stream(streams, out)
-print(resource.getrusage(resource.RUSAGE_SELF).ru_maxrss)  # KiB on Linux
+# Warm pass over the SMALL scene: compiles the graphs and pushes the
+# process high-water mark to its steady state. The subsequent big-scene
+# increase is then a clean materialization signal — comparing ru_maxrss
+# across two separate processes carries jax/allocator noise of the same
+# order as the bound (the round-5 flake).
+codec.compress_stream(open_vdb_leaf_streams(small_vdb),
+                      out_dir + "/small.vqvdb")
+base = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss  # KiB on Linux
+codec.compress_stream(open_vdb_leaf_streams(big_vdb),
+                      out_dir + "/big.vqvdb")
+peak = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+print(base)
+print(peak)
 """
 
 
@@ -164,7 +174,7 @@ def test_streaming_encode_bounded_rss(tmp_path, rng):
     the big scene's leaves would cost if materialized."""
     small, big = 6_000, 60_000  # leaves: ~12 MB vs ~123 MB of payload
 
-    def run(n, tag):
+    def make(n, tag):
         path = tmp_path / f"{tag}.vdb"
         # Constant-ish leaves keep write memory low and files small.
         side = int(np.ceil(n ** (1 / 3)))
@@ -175,19 +185,19 @@ def test_streaming_encode_bounded_rss(tmp_path, rng):
         leaves[:, ::2] = rng.random((n, 4, 8, 8)).astype(np.float32)
         write_vdb(path, [VdbGrid(name="d", value_type="float",
                                  origins=origins, leaves=leaves)])
-        del leaves
-        env = dict(os.environ)
-        env["PYTHONPATH"] = str(REPO) + os.pathsep + env.get("PYTHONPATH", "")
-        out = subprocess.run(
-            [sys.executable, "-c", _RSS_RUNNER, str(path),
-             str(tmp_path / f"{tag}.vqvdb")],
-            env=env, capture_output=True, text=True, timeout=900)
-        assert out.returncode == 0, out.stderr[-3000:]
-        return int(out.stdout.strip().splitlines()[-1])  # KiB
+        return path
 
-    rss_small = run(small, "small")
-    rss_big = run(big, "big")
+    p_small, p_big = make(small, "small"), make(big, "big")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = str(REPO) + os.pathsep + env.get("PYTHONPATH", "")
+    out = subprocess.run(
+        [sys.executable, "-c", _RSS_RUNNER, str(p_small), str(p_big),
+         str(tmp_path)],
+        env=env, capture_output=True, text=True, timeout=900)
+    assert out.returncode == 0, out.stderr[-3000:]
+    rss_small, rss_big = map(int, out.stdout.strip().splitlines()[-2:])
     # 10x the payload; allow 60 MB of slack (topology arrays, allocator
     # noise) — full materialization would add ~110 MB for leaves alone,
-    # plus the file read.
+    # plus the file read. Both marks come from ONE process (warm small
+    # pass first) so the jax/compile baseline cancels exactly.
     assert rss_big - rss_small < 60_000, (rss_small, rss_big)
