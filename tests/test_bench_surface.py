@@ -21,7 +21,8 @@ from vqvdb_tpu.core.config import CodecConfig, ModelConfig
 from vqvdb_tpu.models import init_vqvae_params
 from vqvdb_tpu.runtime.codec import VQCodec
 from vqvdb_tpu.runtime import dense as dense_mod
-from vqvdb_tpu.runtime.dense import _pad_steps, _scan_scatter, _to_blocks
+from vqvdb_tpu.runtime.dense import (_blocks_to_dense, _pad_steps,
+                                     _scan_scatter, _to_blocks)
 
 CFG = ModelConfig()
 BENCH = Path(__file__).parent.parent / "bench.py"
@@ -64,20 +65,31 @@ def test_bench_dense_device_loops_compile(codec):
     bid_steps = jnp.asarray(_pad_steps(
         np.arange(n_dense, dtype=np.int32), bs, n_dense))
 
+    bd = (3, 2, 2)
+
     def dec_body(idx_s):
         buf = jnp.zeros((n_dense + 1, row), jnp.float32)
-        return _scan_scatter(codec, buf, idx_s, bid_steps, None, None,
-                             params, None)
+        buf = _scan_scatter(codec, buf, idx_s, bid_steps, None, None,
+                            params, None)
+        # Mirror bench.py: the timed program includes the voxel-order
+        # transpose, materialized behind an optimization barrier.
+        dense = jax.lax.optimization_barrier(_blocks_to_dense(
+            buf, n_dense, bd, mcfg.in_channels))
+        return buf, dense[0, 0, 0, 0]
 
-    buf = jax.jit(dec_body)(idx_steps)
+    buf, probe = jax.jit(dec_body)(idx_steps)
     assert buf.shape == (n_dense + 1, row)
-    assert bool(jnp.isfinite(buf).all())
+    assert bool(jnp.isfinite(buf).all()) and bool(jnp.isfinite(probe))
 
     dense = jnp.asarray(
         rng.random((24, 16, 16, mcfg.in_channels)).astype(np.float32))
 
     def enc_body(dense):
         rows = _to_blocks(dense)
+        # Mirror bench.py: the activity reduction of the shipped encode
+        # path is part of the timed program.
+        act = jnp.max(jnp.abs(rows - jnp.float32(0.0)),
+                      axis=1) > jnp.float32(0.0)
 
         def step(_, bid_b):
             leaves = rows[bid_b].reshape(
@@ -85,10 +97,11 @@ def test_bench_dense_device_loops_compile(codec):
             return None, codec._encode_step(params, leaves)
 
         _, di = jax.lax.scan(step, None, bid_steps)
-        return di
+        return di, jnp.sum(act.astype(jnp.float32))
 
-    di = jax.jit(enc_body)(dense)
+    di, n_act = jax.jit(enc_body)(dense)
     assert di.shape[:2] == (bid_steps.shape[0], bs)
+    assert float(n_act) > 0
     # Indices come back in codebook range.
     assert int(jnp.max(di)) < K and int(jnp.min(di)) >= 0
 
